@@ -1,0 +1,125 @@
+"""Problem/system abstractions.
+
+Reference counterpart: the `make_*` factories in /root/reference/systems.py
+return a positional 13-tuple `(F, x0, xg, u_ref, Q, R, alpha, w, N, T_min,
+T_max, wrap_idx, extra)` with `F` a NumPy closure. Here the same information
+splits into:
+
+- `System` — a static description: the pure `step(x, u) -> x_next` dynamics
+  (jnp, differentiable), dims, dt, optional extra stage cost. Static so `jit`
+  can specialize on the dynamics function.
+- `Problem` — a `flax.struct` pytree of arrays (x0, xg, u_ref, Q, R, Qf, w,
+  wrap_mask) plus static ints (N, T_min, T_max). Array leaves batch with
+  `vmap`; static fields fix the program shapes.
+
+All trajectory shapes are functions of the static `N`/`T_max` only; variable
+horizons are handled by masking, never by dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from timeopt_tpu.ops.linalg import as_terminal_weight
+from timeopt_tpu.ops.wrap import wrap_mask_from_idx
+
+# step: (x, u) -> x_next, pure jnp, shape (n,), (m,) -> (n,)
+StepFn = Callable[[jax.Array, jax.Array], jax.Array]
+# extra stage cost: (x, u) -> scalar c (value; gradient/Hessian via AD)
+ExtraCostFn = Callable[[jax.Array, jax.Array], jax.Array]
+
+
+@struct.dataclass
+class Problem:
+    """One horizon-optimal trajectory-optimization problem instance.
+
+    min_{U,T} sum_{k<T} [0.5 e_k' Q e_k + 0.5 du_k' R du_k + w] + 0.5 e_T' Qf e_T
+    s.t. x_{k+1} = step(x_k, u_k), x_0 = x0, T in [T_min, T_max].
+    (reference problem statement: /root/reference/README.md:9-14)
+    """
+
+    x0: jax.Array  # (n,)
+    xg: jax.Array  # (n,)
+    u_ref: jax.Array  # (m,)
+    Q: jax.Array  # (n, n)
+    R: jax.Array  # (m, m)
+    Qf: jax.Array  # (n, n) full terminal weight
+    w: jax.Array  # () time penalty per step
+    wrap_mask: jax.Array  # (n,) bool, angular state components
+    N: int = struct.field(pytree_node=False)
+    T_min: int = struct.field(pytree_node=False)
+    T_max: int = struct.field(pytree_node=False)
+
+    @property
+    def n(self) -> int:
+        return self.x0.shape[-1]
+
+    @property
+    def m(self) -> int:
+        return self.u_ref.shape[-1]
+
+
+@dataclasses.dataclass(frozen=True)
+class System:
+    """Static dynamics description (hashable; safe as a jit static argument)."""
+
+    name: str
+    n: int
+    m: int
+    dt: float
+    step: StepFn = dataclasses.field(compare=False)
+    extra_cost: Optional[ExtraCostFn] = dataclasses.field(default=None, compare=False)
+    # default perturbation sigmas for benchmark trials
+    # (reference: /root/reference/run_suite.py:69-74)
+    sigma_x0: tuple = ()
+    sigma_xg: tuple = ()
+
+    def safe_step(self, x: jax.Array, u: jax.Array, max_state_norm: float = 1e6) -> jax.Array:
+        """step() with divergence poisoning: non-finite or exploding next
+        states become all-NaN so downstream line searches self-reject.
+        (reference: rollout guards at /root/reference/solver.py:54-59)
+        """
+        xn = self.step(x, u)
+        bad = (~jnp.all(jnp.isfinite(xn))) | (
+            jnp.sqrt(jnp.sum(jnp.square(xn))) > max_state_norm
+        )
+        return xn + jnp.where(bad, jnp.asarray(jnp.nan, xn.dtype), jnp.asarray(0.0, xn.dtype))
+
+
+def make_problem(
+    *,
+    x0,
+    xg,
+    u_ref,
+    Q,
+    R,
+    alpha,
+    w,
+    N: int,
+    T_min: int,
+    T_max: int,
+    wrap_idx=(),
+    dtype=jnp.float64,
+) -> Problem:
+    """Assemble a Problem from reference-style ingredients (host-side)."""
+    x0 = np.asarray(x0, dtype=dtype).reshape(-1)
+    n = x0.size
+    return Problem(
+        x0=jnp.asarray(x0, dtype=dtype),
+        xg=jnp.asarray(np.reshape(xg, -1), dtype=dtype),
+        u_ref=jnp.asarray(np.reshape(u_ref, -1), dtype=dtype),
+        Q=jnp.asarray(Q, dtype=dtype),
+        R=jnp.asarray(np.atleast_2d(R), dtype=dtype),
+        Qf=jnp.asarray(as_terminal_weight(alpha, n), dtype=dtype),
+        w=jnp.asarray(w, dtype=dtype),
+        wrap_mask=jnp.asarray(wrap_mask_from_idx(wrap_idx, n)),
+        N=int(N),
+        T_min=int(T_min),
+        T_max=int(T_max),
+    )

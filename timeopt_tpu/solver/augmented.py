@@ -1,0 +1,106 @@
+"""Homogeneous-coordinate (augmented) blocks for the propagator sweep.
+
+Reference counterparts: build_augmented_sequence_QR and
+build_terminal_aug_list (/root/reference/augmented.py:10-87); formulation in
+the reference paper's method2 (homogeneous coordinate z = [dx; 1] absorbs the
+affine residual and linear cost terms into (n+1)-dimensional blocks).
+
+Everything is built as batched (N, n+1, n+1) tensors in a handful of fused
+einsums — no per-step Python loop.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from timeopt_tpu.models.base import Problem, System
+from timeopt_tpu.ops.linalg import psd_inv, sym
+from timeopt_tpu.ops.wrap import wrap_error
+from timeopt_tpu.solver.cost import extra_cost_terms
+
+
+class AugmentedBlocks(NamedTuple):
+    A_aug: jax.Array  # (N, n+1, n+1)
+    B_aug: jax.Array  # (N, n+1, m)
+    Q_aug: jax.Array  # (N, n+1, n+1)
+    R_inv: jax.Array  # (m, m)
+
+
+def build_augmented(
+    system: System,
+    prob: Problem,
+    X: jax.Array,
+    U: jax.Array,
+    A: jax.Array,
+    B: jax.Array,
+    *,
+    q_reg: float = 1e-9,
+    rho_reg: float = 1e-12,
+    psd_levels: int = 2,
+) -> AugmentedBlocks:
+    N, n, m = U.shape[0], prob.n, prob.m
+    dtype = X.dtype
+
+    e = wrap_error(X[:-1] - prob.xg, prob.wrap_mask)  # (N, n)
+    du = U - prob.u_ref  # (N, m)
+
+    # affine residuals a_k = f(x_k, u_k) - x_{k+1} (zero on exact rollouts);
+    # atil = a - B du absorbs the control offset (reference augmented.py:50)
+    a = jax.vmap(system.step)(X[:-1], U) - X[1:]
+    atil = a - jnp.einsum("knm,km->kn", B, du)
+
+    Qe = e @ prob.Q.T  # (N, n)
+    quad = jnp.einsum("ki,kj,ij->k", e, e, prob.Q)  # e'Qe per step
+    corner = quad + 2.0 * prob.w + rho_reg
+
+    Qblock = jnp.broadcast_to(sym(prob.Q) + q_reg * jnp.eye(n, dtype=dtype), (N, n, n))
+
+    extra = extra_cost_terms(system, X[:-1], U)
+    if extra is not None:
+        c, cx, cxx = extra
+        Qblock = Qblock + sym(cxx)
+        Qe = Qe + cx
+        corner = corner + 2.0 * c
+
+    Q_aug = jnp.zeros((N, n + 1, n + 1), dtype=dtype)
+    Q_aug = Q_aug.at[:, :n, :n].set(Qblock)
+    Q_aug = Q_aug.at[:, :n, n].set(Qe)
+    Q_aug = Q_aug.at[:, n, :n].set(Qe)
+    Q_aug = Q_aug.at[:, n, n].set(corner)
+    Q_aug = sym(Q_aug)
+
+    A_aug = jnp.zeros((N, n + 1, n + 1), dtype=dtype)
+    A_aug = A_aug.at[:, :n, :n].set(A)
+    A_aug = A_aug.at[:, :n, n].set(atil)
+    A_aug = A_aug.at[:, n, n].set(1.0)
+
+    B_aug = jnp.zeros((N, n + 1, m), dtype=dtype)
+    B_aug = B_aug.at[:, :n, :].set(B)
+
+    R_inv = psd_inv(prob.R, levels=psd_levels)
+    return AugmentedBlocks(A_aug=A_aug, B_aug=B_aug, Q_aug=Q_aug, R_inv=R_inv)
+
+
+def build_terminal_blocks(prob: Problem, X: jax.Array, *, rho_reg: float = 1e-12) -> jax.Array:
+    """Terminal (n+1)^2 block per candidate arrival step t = 1..N.
+
+    QT[t-1] = [[P, P e_t], [e_t' P, e_t' P e_t + rho]] with P = Qf
+    (reference: /root/reference/augmented.py:63-87).
+    """
+    n = prob.n
+    dtype = X.dtype
+    P = sym(prob.Qf)
+    e = wrap_error(X[1:] - prob.xg, prob.wrap_mask)  # (N, n), arrival steps 1..N
+    px = e @ P.T  # (N, n)
+    p0 = jnp.einsum("ki,kj,ij->k", e, e, P)  # e'Pe  (= 2 * 0.5 e'Pe)
+
+    N = e.shape[0]
+    QT = jnp.zeros((N, n + 1, n + 1), dtype=dtype)
+    QT = QT.at[:, :n, :n].set(jnp.broadcast_to(P, (N, n, n)))
+    QT = QT.at[:, :n, n].set(px)
+    QT = QT.at[:, n, :n].set(px)
+    QT = QT.at[:, n, n].set(p0 + rho_reg)
+    return sym(QT)

@@ -1,0 +1,125 @@
+"""Truncated iLQR backward pass as a masked reverse scan.
+
+Reference counterpart: backward_pass_truncated (/root/reference/solver.py:156-230).
+The horizon T* is a *traced* value: the scan always runs over the full static
+N steps; the terminal expansion is injected where k+1 == T*, steps with
+k >= T* pass the value function through unchanged, and their gains are zeroed.
+SPD failure of Quu_reg at any active step clears the `ok` flag (the jittable
+analogue of the reference's early `return None, None, False`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from timeopt_tpu.models.base import Problem, System
+from timeopt_tpu.ops.linalg import gj_solve, spd_check, sym
+from timeopt_tpu.ops.wrap import wrap_error
+from timeopt_tpu.solver.cost import extra_cost_terms
+
+
+class BackwardResult(NamedTuple):
+    kappa: jax.Array  # (N, m) feedforward gains (zero where k >= T*)
+    K: jax.Array  # (N, m, n) feedback gains
+    ok: jax.Array  # () bool — all active steps SPD & finite
+
+
+def stage_expansion(system: System, prob: Problem, X: jax.Array, U: jax.Array):
+    """Per-step cost expansion terms along the trajectory:
+    e, du, lx, lu, l0, Qstage — (N, ...) arrays."""
+    e = wrap_error(X[:-1] - prob.xg, prob.wrap_mask)  # (N, n)
+    du = U - prob.u_ref  # (N, m)
+    lx = e @ prob.Q.T  # (N, n)
+    lu = du @ prob.R.T  # (N, m)
+    l0 = (
+        0.5 * jnp.einsum("ki,ij,kj->k", e, prob.Q, e)
+        + 0.5 * jnp.einsum("ki,ij,kj->k", du, prob.R, du)
+        + prob.w
+    )
+    N = U.shape[0]
+    Qstage = jnp.broadcast_to(prob.Q, (N,) + prob.Q.shape)
+
+    extra = extra_cost_terms(system, X[:-1], U)
+    if extra is not None:
+        c, cx, cxx = extra
+        l0 = l0 + c
+        lx = lx + cx
+        Qstage = sym(Qstage + cxx)
+    return e, du, lx, lu, l0, Qstage
+
+
+def backward_truncated(
+    system: System,
+    prob: Problem,
+    A: jax.Array,
+    B: jax.Array,
+    X: jax.Array,
+    U: jax.Array,
+    T_star: jax.Array,
+    lm_lambda: jax.Array,
+) -> BackwardResult:
+    N = prob.N
+    m = prob.m
+    e, du, lx, lu, _, Qstage = stage_expansion(system, prob, X, U)
+    QfT = sym(prob.Qf)
+    I_m = jnp.eye(m, dtype=X.dtype)
+
+    def f(carry, inp):
+        Vx, Vxx, ok = carry
+        k, Ak, Bk, lxk, luk, Qsk, x_next, ek, duk = inp
+
+        # terminal injection at k+1 == T*
+        eT = wrap_error(x_next - prob.xg, prob.wrap_mask)
+        is_term = (k + 1) == T_star
+        Vx_in = jnp.where(is_term, prob.Qf @ eT, Vx)
+        Vxx_in = jnp.where(is_term, QfT, Vxx)
+        ok = ok & jnp.where(is_term, jnp.all(jnp.isfinite(eT)), True)
+
+        Qx = lxk + Ak.T @ Vx_in
+        Qu = luk + Bk.T @ Vx_in
+        Qxx = Qsk + Ak.T @ Vxx_in @ Ak
+        Quu = prob.R + Bk.T @ Vxx_in @ Bk
+        Qux = Bk.T @ Vxx_in @ Ak
+
+        Quu_reg = sym(Quu) + lm_lambda * I_m
+        pd = spd_check(Quu_reg)
+
+        kap = -gj_solve(Quu_reg, Qu)
+        Kk = -gj_solve(Quu_reg, Qux)
+
+        Vx_new = Qx + Kk.T @ Qu + Qux.T @ kap + Kk.T @ (Quu @ kap)
+        Vxx_new = sym(Qxx + Kk.T @ Qux + Qux.T @ Kk + Kk.T @ Quu @ Kk)
+
+        active = k < T_star
+        step_ok = (
+            pd
+            & jnp.all(jnp.isfinite(ek))
+            & jnp.all(jnp.isfinite(duk))
+            & jnp.all(jnp.isfinite(Vx_new))
+            & jnp.all(jnp.isfinite(Vxx_new))
+        )
+        ok = ok & jnp.where(active, step_ok, True)
+
+        Vx_out = jnp.where(active, Vx_new, Vx_in)
+        Vxx_out = jnp.where(active, Vxx_new, Vxx_in)
+        zero = jnp.asarray(0.0, X.dtype)
+        return (Vx_out, Vxx_out, ok), (
+            jnp.where(active, kap, zero),
+            jnp.where(active, Kk, zero),
+        )
+
+    n = prob.n
+    init = (
+        jnp.zeros(n, dtype=X.dtype),
+        jnp.zeros((n, n), dtype=X.dtype),
+        (T_star > 0),
+    )
+    ks = jnp.arange(N)
+    (_, _, ok), (kappa, K) = lax.scan(
+        f, init, (ks, A, B, lx, lu, Qstage, X[1:], e, du), reverse=True
+    )
+    return BackwardResult(kappa=kappa, K=K, ok=ok)

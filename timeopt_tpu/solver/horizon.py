@@ -1,0 +1,219 @@
+"""Horizon selection: LFT propagator sweep (HOP-DDP) and brute-force oracle.
+
+Propagator (reference: propagator_all_Jt_aug,
+/root/reference/horizon_selection.py:36-86): each time step contributes an
+information-form LFT element (E, F, G); prefix composition of these elements
+is *associative* (it is composition of linear-fractional maps), so the
+reference's sequential Python loop becomes either a `lax.scan` (lowest total
+FLOPs — right when a large problem batch already saturates the chip) or a
+`lax.associative_scan` (O(log N) depth — right for latency-bound single
+solves). Terminal queries for all N candidate horizons then evaluate in one
+batched shot (vmap over t), and J(T) reduces to a single masked argmin.
+
+Brute force (reference: bruteforce_all_Jt_backward_expansion,
+/root/reference/solver.py:293-358): the exact quadratic-model J(T) for every
+T via a full backward value expansion per T — here one masked reverse scan
+vmapped over all T_max candidate horizons (the O(N^2 n^3) FLOPs stay, but run
+as T_max parallel lanes instead of a nested Python loop).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from timeopt_tpu.models.base import Problem, System
+from timeopt_tpu.ops.linalg import psd_inv, psd_solve, sym
+from timeopt_tpu.ops.wrap import wrap_error
+from timeopt_tpu.solver.augmented import AugmentedBlocks
+from timeopt_tpu.solver.backward import stage_expansion
+
+
+class LFTElements(NamedTuple):
+    E: jax.Array  # (N, p, p)
+    F: jax.Array  # (N, p, p)
+    G: jax.Array  # (N, p, p)
+
+
+def lft_elements(blocks: AugmentedBlocks, *, psd_levels: int = 2) -> LFTElements:
+    """Per-step LFT element: E = Q_aug^-1, F = E A', G = A E A' + B R^-1 B'
+    (reference: /root/reference/horizon_selection.py:57-64)."""
+    A, B, Qa = blocks.A_aug, blocks.B_aug, blocks.Q_aug
+    E = psd_inv(Qa, levels=psd_levels)
+    F = E @ jnp.swapaxes(A, -1, -2)
+    G = sym(A @ F + jnp.einsum("kim,mn,kjn->kij", B, blocks.R_inv, B))
+    return LFTElements(E=E, F=F, G=G)
+
+
+def lft_compose(first: LFTElements, second: LFTElements, *, psd_levels: int = 2) -> LFTElements:
+    """Associative composition of LFT elements (first, then second):
+      W = (E2 + G1)^-1
+      E = E1 - F1 W F1',  F = F1 W F2,  G = G2 - F2' W F2
+    (the reference's prefix recursion, /root/reference/horizon_selection.py:67-75,
+    with `first` = accumulated prefix and `second` = next step). Broadcasts
+    over any leading batch axes, so it drops directly into associative_scan.
+    """
+    E1, F1, G1 = first
+    E2, F2, G2 = second
+    W = psd_inv(E2 + G1, levels=psd_levels)
+    F1W = F1 @ W
+    E = sym(E1 - F1W @ jnp.swapaxes(F1, -1, -2))
+    F = F1W @ F2
+    G = sym(G2 - jnp.swapaxes(F2, -1, -2) @ W @ F2)
+    return LFTElements(E=E, F=F, G=G)
+
+
+def lft_prefix_scan(elems: LFTElements, *, mode: str = "sequential", psd_levels: int = 2) -> LFTElements:
+    """All prefix compositions elem_0 ∘ ... ∘ elem_k for k = 0..N-1."""
+    if mode == "associative":
+        return LFTElements(
+            *lax.associative_scan(
+                lambda a, b: tuple(lft_compose(LFTElements(*a), LFTElements(*b), psd_levels=psd_levels)),
+                tuple(elems),
+                axis=0,
+            )
+        )
+    if mode != "sequential":
+        raise ValueError(f"unknown scan mode {mode!r}")
+
+    def f(carry, elem_k):
+        out = lft_compose(carry, LFTElements(*elem_k), psd_levels=psd_levels)
+        return out, out
+
+    first = jax.tree.map(lambda x: x[0], elems)
+    rest = jax.tree.map(lambda x: x[1:], elems)
+    _, tail = lax.scan(f, first, tuple(rest))
+    return jax.tree.map(
+        lambda h, t: jnp.concatenate([h[None], t], axis=0), first, LFTElements(*tail)
+    )
+
+
+def propagator_J_curve(
+    prefixes: LFTElements,
+    QT: jax.Array,
+    *,
+    psd_levels: int = 2,
+) -> jax.Array:
+    """J(T) for T = 1..N: query every terminal block against the prefix at
+    T-1 (reference: /root/reference/horizon_selection.py:78-85).
+
+    J(T) = 0.5 z0' X0^-1 z0 with
+      X0 = Ebar_{T-1} - Fbar_{T-1} (QT_T^-1 + Gbar_{T-1})^-1 Fbar_{T-1}'
+    and z0 = e_{n+1}, so z0' X0^-1 z0 is just the last component of the
+    solve X0 y = z0 — no full inverse needed.
+    """
+    Eb, Fb, Gb = prefixes
+    Xt = psd_inv(QT, levels=psd_levels)  # (N, p, p)
+    Wt = psd_inv(Xt + Gb, levels=psd_levels)
+    X0 = sym(Eb - Fb @ Wt @ jnp.swapaxes(Fb, -1, -2))
+    p = X0.shape[-1]
+    z0 = jnp.zeros((p,), dtype=X0.dtype).at[-1].set(1.0)
+    y = psd_solve(X0, jnp.broadcast_to(z0, X0.shape[:-1]), levels=psd_levels)
+    return 0.5 * y[..., -1]
+
+
+def propagator_select(
+    blocks: AugmentedBlocks,
+    QT: jax.Array,
+    *,
+    scan_mode: str = "sequential",
+    psd_levels: int = 2,
+) -> jax.Array:
+    """Full propagator sweep: blocks -> J(T) curve, T = 1..N."""
+    elems = lft_elements(blocks, psd_levels=psd_levels)
+    prefixes = lft_prefix_scan(elems, mode=scan_mode, psd_levels=psd_levels)
+    return propagator_J_curve(prefixes, QT, psd_levels=psd_levels)
+
+
+# =============================================================================
+# Brute-force oracle
+# =============================================================================
+
+
+def value_expansion_V0(
+    system: System,
+    prob: Problem,
+    A: jax.Array,
+    B: jax.Array,
+    X: jax.Array,
+    U: jax.Array,
+    T: jax.Array,
+    *,
+    lm_lambda: float = 1e-6,
+    psd_levels: int = 2,
+) -> jax.Array:
+    """V0(0) of the full quadratic value expansion with terminal at (traced)
+    step T: one masked reverse scan (reference inner loop:
+    /root/reference/solver.py:316-356)."""
+    N, m = U.shape[0], prob.m
+    e, du, lx, lu, l0, Qstage = stage_expansion(system, prob, X, U)
+    QfT = sym(prob.Qf)
+    I_m = jnp.eye(m, dtype=X.dtype)
+    lam = jnp.asarray(lm_lambda, X.dtype)
+
+    def f(carry, inp):
+        Vx, Vxx, V0 = carry
+        k, Ak, Bk, lxk, luk, l0k, Qsk, x_next = inp
+
+        eT = wrap_error(x_next - prob.xg, prob.wrap_mask)
+        is_term = (k + 1) == T
+        Vx_in = jnp.where(is_term, prob.Qf @ eT, Vx)
+        Vxx_in = jnp.where(is_term, QfT, Vxx)
+        V0_in = jnp.where(is_term, 0.5 * eT @ (prob.Qf @ eT), V0)
+
+        Qx = lxk + Ak.T @ Vx_in
+        Qu = luk + Bk.T @ Vx_in
+        Qxx = Qsk + Ak.T @ Vxx_in @ Ak
+        Quu = prob.R + Bk.T @ Vxx_in @ Bk
+        Qux = Bk.T @ Vxx_in @ Ak
+
+        Quu_reg = sym(Quu) + lam * I_m
+        invQuuQu = psd_solve(Quu_reg, Qu, levels=psd_levels)
+        invQuuQux = psd_solve(Quu_reg, Qux, levels=psd_levels)
+
+        Vx_new = Qx - Qux.T @ invQuuQu
+        Vxx_new = sym(Qxx - Qux.T @ invQuuQux)
+        V0_new = l0k + V0_in - 0.5 * Qu @ invQuuQu
+
+        active = k < T
+        return (
+            jnp.where(active, Vx_new, Vx_in),
+            jnp.where(active, Vxx_new, Vxx_in),
+            jnp.where(active, V0_new, V0_in),
+        ), None
+
+    n = prob.n
+    init = (
+        jnp.zeros(n, dtype=X.dtype),
+        jnp.zeros((n, n), dtype=X.dtype),
+        jnp.zeros((), dtype=X.dtype),
+    )
+    ks = jnp.arange(N)
+    (Vx0, Vxx0, V00), _ = lax.scan(
+        f, init, (ks, A, B, lx, lu, l0, Qstage, X[1:]), reverse=True
+    )
+    return V00
+
+
+def bruteforce_J_curve(
+    system: System,
+    prob: Problem,
+    A: jax.Array,
+    B: jax.Array,
+    X: jax.Array,
+    U: jax.Array,
+    *,
+    lm_lambda: float = 1e-6,
+    psd_levels: int = 2,
+) -> jax.Array:
+    """J(T) for all T = 1..T_max — T_max masked value-expansion scans, run as
+    one vmap over the candidate-horizon axis."""
+    Ts = jnp.arange(1, prob.T_max + 1)
+    return jax.vmap(
+        lambda T: value_expansion_V0(
+            system, prob, A, B, X, U, T, lm_lambda=lm_lambda, psd_levels=psd_levels
+        )
+    )(Ts)

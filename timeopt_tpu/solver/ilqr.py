@@ -1,0 +1,300 @@
+"""Outer time-optimal iLQR loop — one jitted program per (system, options).
+
+Reference counterpart: ilqr_timeopt (/root/reference/solver.py:449-765).
+Differences forced by (and exploited for) the TPU execution model:
+
+- The iteration loop is a `lax.scan` over the static `max_iter` budget with a
+  `done` mask: once converged (relative cost change < rel_tol AND last three
+  accepted horizons identical — reference solver.py:745-748), remaining
+  iterations pass state through unchanged. Shapes never depend on data.
+- Accept/reject (Levenberg-Marquardt lambda /10 on accept, x10 on reject —
+  reference solver.py:735-742) is branchless select logic.
+- The whole solve is a pure function of a `Problem` pytree, so `vmap`
+  batches thousands of solves and `jax.sharding` spreads the batch over a
+  device mesh (see timeopt_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from flax import struct
+
+from timeopt_tpu.models.base import Problem, System
+from timeopt_tpu.solver.augmented import build_augmented, build_terminal_blocks
+from timeopt_tpu.solver.backward import backward_truncated
+from timeopt_tpu.solver.cost import argmin_T, cost_true, nominal_cost_curve, rollout
+from timeopt_tpu.solver.forward import forward_linesearch
+from timeopt_tpu.solver.horizon import bruteforce_J_curve, propagator_select
+from timeopt_tpu.solver.linearize import linearize
+
+
+@dataclasses.dataclass(frozen=True)
+class SolveOptions:
+    """Static solver configuration (hashable; specializes the jitted program).
+
+    Defaults mirror the reference's ilqr_timeopt signature
+    (/root/reference/solver.py:449-471) except `linearize_mode`, which
+    defaults to exact AD Jacobians instead of finite differences.
+    """
+
+    method: str = "propagator"  # "propagator" | "bruteforce" | "onepass"
+    max_iter: int = 15
+    lm_init: float = 1e-3
+    S_window: int = 20
+    linearize_mode: str = "ad"  # "ad" | "central" | "forward"
+    alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.05)
+    scan_mode: str = "sequential"  # LFT prefix scan: "sequential" | "associative"
+    psd_levels: int = 2
+    q_reg: float = 1e-9
+    rho_reg: float = 1e-12
+    rel_tol: float = 1e-4
+    onepass_preimage: str = "fixedpoint"  # "fixedpoint" | "newton" | "copy"
+
+
+@struct.dataclass
+class SolveResult:
+    X: jax.Array  # (N+1, n) final nominal trajectory
+    U: jax.Array  # (N, m) final controls
+    T_star: jax.Array  # () int32 selected horizon
+    J_star: jax.Array  # () final accepted cost (inf if never accepted)
+    J_curve: jax.Array  # (T_max,) last selection curve
+    J_hist: jax.Array  # (max_iter+1,) accepted costs, NaN-padded
+    T_hist: jax.Array  # (max_iter+1,) accepted horizons, -1-padded
+    n_accept: jax.Array  # () int32 number of accepted updates
+    lm_final: jax.Array  # () final LM lambda
+
+
+class _LoopState(NamedTuple):
+    X: jax.Array
+    U: jax.Array
+    lm: jax.Array
+    T_bar: jax.Array
+    J_last: jax.Array
+    J_prev: jax.Array
+    n_acc: jax.Array
+    T3: jax.Array  # (3,) last three accepted horizons (sentinel-initialized)
+    done: jax.Array
+    J_curve: jax.Array
+    J_hist: jax.Array
+    T_hist: jax.Array
+
+
+def _tree_select(pred, on_true, on_false):
+    return jax.tree.map(lambda a, b: jnp.where(pred, a, b), on_true, on_false)
+
+
+def _select_curve(system: System, prob: Problem, opts: SolveOptions, X, U, A, B):
+    """Method-specific J(T) selection curve over T = 1..T_max."""
+    Tm = prob.T_max
+    Xh, Uh, Ah, Bh = X[: Tm + 1], U[:Tm], A[:Tm], B[:Tm]
+    if opts.method == "propagator":
+        blocks = build_augmented(
+            system, prob, Xh, Uh, Ah, Bh,
+            q_reg=opts.q_reg, rho_reg=opts.rho_reg, psd_levels=opts.psd_levels,
+        )
+        QT = build_terminal_blocks(prob, Xh, rho_reg=opts.rho_reg)
+        return propagator_select(
+            blocks, QT, scan_mode=opts.scan_mode, psd_levels=opts.psd_levels
+        )
+    if opts.method == "bruteforce":
+        return bruteforce_J_curve(
+            system, prob, Ah, Bh, Xh, Uh, psd_levels=opts.psd_levels
+        )
+    raise ValueError(f"unknown method {opts.method!r}")
+
+
+def _roll3(T3, T_new):
+    return jnp.concatenate([T3[1:], T_new[None]])
+
+
+def _solve_curve_methods(
+    system: System, opts: SolveOptions, prob: Problem, U_init: jax.Array
+) -> SolveResult:
+    """Shared solve path for the propagator and brute-force methods."""
+    dtype = U_init.dtype
+    i32 = jnp.int32
+
+    X = rollout(system, prob, prob.x0, U_init)
+    U = U_init
+    A, B = linearize(system.step, X, U, opts.linearize_mode)
+
+    # ---- initial horizon guess + warm-start update at T̄
+    # (reference: solver.py:514-555)
+    J_curve0 = _select_curve(system, prob, opts, X, U, A, B)
+    T_bar = argmin_T(J_curve0, prob.T_min, prob.T_max)
+
+    lm0 = jnp.asarray(opts.lm_init, dtype)
+    bw = backward_truncated(system, prob, A, B, X, U, T_bar, lm0)
+    ls = forward_linesearch(
+        system, prob, X, U, bw.K, bw.kappa, T_bar, alphas=opts.alphas
+    )
+    warm_ok = bw.ok & jnp.isfinite(ls.J)
+    X = jnp.where(bw.ok, ls.X, X)
+    U = jnp.where(bw.ok, ls.U, U)
+
+    hist_len = opts.max_iter + 1
+    J_hist = jnp.full((hist_len,), jnp.nan, dtype)
+    T_hist = jnp.full((hist_len,), -1, i32)
+    J_hist = jnp.where(warm_ok, J_hist.at[0].set(ls.J), J_hist)
+    T_hist = jnp.where(warm_ok, T_hist.at[0].set(T_bar), T_hist)
+
+    sentinel = jnp.asarray([-1, -2, -3], i32)
+    state = _LoopState(
+        X=X,
+        U=U,
+        lm=lm0,
+        T_bar=T_bar,
+        J_last=jnp.where(warm_ok, ls.J, jnp.asarray(jnp.inf, dtype)),
+        J_prev=jnp.asarray(jnp.inf, dtype),
+        n_acc=jnp.where(warm_ok, 1, 0).astype(i32),
+        T3=jnp.where(warm_ok, _roll3(sentinel, T_bar), sentinel),
+        done=jnp.asarray(False),
+        J_curve=J_curve0,
+        J_hist=J_hist,
+        T_hist=T_hist,
+    )
+
+    def body(s: _LoopState, _):
+        A, B = linearize(system.step, s.X, s.U, opts.linearize_mode)
+        J_curve = _select_curve(system, prob, opts, s.X, s.U, A, B)
+        T_star = argmin_T(J_curve, prob.T_min, prob.T_max)
+
+        bw = backward_truncated(system, prob, A, B, s.X, s.U, T_star, s.lm)
+        ls = forward_linesearch(
+            system, prob, s.X, s.U, bw.K, bw.kappa, T_star, alphas=opts.alphas
+        )
+        acc = bw.ok & ls.accepted & jnp.isfinite(ls.J)
+
+        n_acc = s.n_acc + acc.astype(i32)
+        upd = _LoopState(
+            X=jnp.where(acc, ls.X, s.X),
+            U=jnp.where(acc, ls.U, s.U),
+            lm=jnp.where(
+                acc, jnp.maximum(s.lm / 10.0, 1e-12), s.lm * 10.0
+            ),
+            T_bar=jnp.where(acc, T_star, s.T_bar),
+            J_last=jnp.where(acc, ls.J, s.J_last),
+            J_prev=jnp.where(acc, s.J_last, s.J_prev),
+            n_acc=n_acc,
+            T3=jnp.where(acc, _roll3(s.T3, T_star), s.T3),
+            done=s.done,
+            J_curve=J_curve,
+            J_hist=jnp.where(
+                acc, lax.dynamic_update_index_in_dim(s.J_hist, ls.J, s.n_acc, 0), s.J_hist
+            ),
+            T_hist=jnp.where(
+                acc,
+                lax.dynamic_update_index_in_dim(s.T_hist, T_star, s.n_acc, 0),
+                s.T_hist,
+            ),
+        )
+
+        # convergence: rel dJ < tol AND last three accepted horizons equal
+        # (reference: solver.py:745-748)
+        rel = jnp.abs(upd.J_last - upd.J_prev) / (jnp.abs(upd.J_prev) + 1e-12)
+        conv = (
+            (upd.n_acc >= 2)
+            & (rel < opts.rel_tol)
+            & (upd.n_acc >= 3)
+            & jnp.all(upd.T3 == upd.T3[2])
+        )
+        upd = upd._replace(done=s.done | conv)
+
+        return _tree_select(s.done, s, upd), None
+
+    state, _ = lax.scan(body, state, None, length=opts.max_iter)
+
+    return SolveResult(
+        X=state.X,
+        U=state.U,
+        T_star=jnp.where(state.n_acc > 0, state.T3[2], state.T_bar).astype(i32),
+        J_star=state.J_last,
+        J_curve=state.J_curve,
+        J_hist=state.J_hist,
+        T_hist=state.T_hist,
+        n_accept=state.n_acc,
+        lm_final=state.lm,
+    )
+
+
+def _solve_traced(system: System, opts: SolveOptions, prob: Problem, U_init: jax.Array):
+    if opts.method in ("propagator", "bruteforce"):
+        return _solve_curve_methods(system, opts, prob, U_init)
+    if opts.method == "onepass":
+        from timeopt_tpu.solver.onepass import solve_onepass
+
+        return solve_onepass(system, opts, prob, U_init)
+    raise ValueError(f"unknown method {opts.method!r}")
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _solve_jit(system: System, opts: SolveOptions, prob: Problem, U_init: jax.Array):
+    return _solve_traced(system, opts, prob, U_init)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _solve_batch_jit(system: System, opts: SolveOptions, probs: Problem, U_inits: jax.Array):
+    return jax.vmap(lambda p, u: _solve_traced(system, opts, p, u))(probs, U_inits)
+
+
+def default_U_init(prob: Problem) -> jax.Array:
+    """Nominal initial controls: u_ref tiled over the horizon
+    (reference: solver.py:480-481)."""
+    return jnp.broadcast_to(prob.u_ref, (prob.N, prob.u_ref.shape[-1]))
+
+
+def solve(
+    system: System,
+    prob: Problem,
+    U_init: Optional[jax.Array] = None,
+    options: Optional[SolveOptions] = None,
+) -> SolveResult:
+    """Solve one horizon-optimal trajectory-optimization problem."""
+    opts = options or SolveOptions()
+    if U_init is None:
+        U_init = default_U_init(prob)
+    else:
+        U_init = _pad_U(jnp.asarray(U_init, dtype=prob.x0.dtype), prob.N)
+    return _solve_jit(system, opts, prob, U_init)
+
+
+def solve_batch(
+    system: System,
+    probs: Problem,
+    U_inits: Optional[jax.Array] = None,
+    options: Optional[SolveOptions] = None,
+) -> SolveResult:
+    """Solve a batch of problems (all Problem leaves carrying a leading batch
+    axis, e.g. via `stack_problems`)."""
+    opts = options or SolveOptions()
+    if U_inits is None:
+        m = probs.u_ref.shape[-1]
+        bshape = probs.u_ref.shape[:-1]
+        U_inits = jnp.broadcast_to(
+            probs.u_ref[..., None, :], bshape + (probs.N, m)
+        )
+    return _solve_batch_jit(system, opts, probs, U_inits)
+
+
+def _pad_U(U: jax.Array, N: int) -> jax.Array:
+    """Pad (tile last row) or truncate U_init to horizon length N
+    (reference: solver.py:483-490)."""
+    if U.ndim == 1:
+        U = U[:, None]
+    if U.shape[0] < N:
+        pad = jnp.broadcast_to(U[-1:], (N - U.shape[0], U.shape[1]))
+        U = jnp.concatenate([U, pad], axis=0)
+    elif U.shape[0] > N:
+        U = U[:N]
+    return U
+
+
+def stack_problems(problems: list) -> Problem:
+    """Stack a list of same-shape Problems into one batched Problem pytree."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *problems)
