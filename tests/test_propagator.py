@@ -1,0 +1,94 @@
+"""Property tests for the LFT propagator — the reference's core correctness
+claim ("zero approximation error" vs the exact quadratic model,
+/root/reference/paper — SURVEY.md §4.1) as a real test suite:
+
+1. propagator J(T) == independent NumPy Riccati oracle on random LTV problems
+2. propagator J(T) == our brute-force curve
+3. associative_scan prefix composition == sequential scan
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests.helpers import random_ltv_problem, riccati_J_curve_oracle
+from timeopt_tpu.models.base import System
+from timeopt_tpu.solver.augmented import build_augmented, build_terminal_blocks
+from timeopt_tpu.solver.horizon import (
+    bruteforce_J_curve,
+    lft_elements,
+    lft_prefix_scan,
+    propagator_J_curve,
+    propagator_select,
+)
+
+
+def _setup(rng, seed_offset=0, n=3, m=2, N=12):
+    step, prob, Ad, Bd, X, U = random_ltv_problem(rng, n=n, m=m, N=N)
+    system = System(name=f"ltv{seed_offset}", n=n, m=m, dt=0.1, step=step)
+    A = jnp.broadcast_to(jnp.asarray(Ad), (N, n, n))
+    B = jnp.broadcast_to(jnp.asarray(Bd), (N, n, m))
+    return system, prob, A, B, jnp.asarray(X), jnp.asarray(U), Ad, Bd, X, U
+
+
+def test_propagator_matches_riccati_oracle(rng):
+    system, prob, A, B, Xj, Uj, Ad, Bd, X, U = _setup(rng)
+    blocks = build_augmented(system, prob, Xj, Uj, A, B)
+    QT = build_terminal_blocks(prob, Xj)
+    J = np.asarray(propagator_select(blocks, QT))
+
+    J_oracle = riccati_J_curve_oracle(
+        np.asarray(A), np.asarray(B), X, U,
+        np.asarray(prob.xg), np.asarray(prob.u_ref),
+        np.asarray(prob.Q), np.asarray(prob.R), np.asarray(prob.Qf),
+        float(prob.w), prob.T_max,
+    )
+    np.testing.assert_allclose(J, J_oracle, rtol=1e-6, atol=1e-8)
+
+
+def test_propagator_matches_bruteforce(rng):
+    system, prob, A, B, Xj, Uj, *_ = _setup(rng, seed_offset=1)
+    blocks = build_augmented(system, prob, Xj, Uj, A, B)
+    QT = build_terminal_blocks(prob, Xj)
+    J_prop = np.asarray(propagator_select(blocks, QT))
+    J_bf = np.asarray(bruteforce_J_curve(system, prob, A, B, Xj, Uj, lm_lambda=0.0))
+    np.testing.assert_allclose(J_prop, J_bf, rtol=1e-6, atol=1e-8)
+
+
+def test_associative_scan_matches_sequential(rng):
+    system, prob, A, B, Xj, Uj, *_ = _setup(rng, seed_offset=2, N=15)
+    blocks = build_augmented(system, prob, Xj, Uj, A, B)
+    elems = lft_elements(blocks)
+    seq = lft_prefix_scan(elems, mode="sequential")
+    assoc = lft_prefix_scan(elems, mode="associative")
+    for s, a in zip(seq, assoc):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(a), rtol=1e-9, atol=1e-10)
+    # and the resulting J curves agree
+    QT = build_terminal_blocks(prob, Xj)
+    np.testing.assert_allclose(
+        np.asarray(propagator_J_curve(seq, QT)),
+        np.asarray(propagator_J_curve(assoc, QT)),
+        rtol=1e-9,
+    )
+
+
+def test_lft_compose_is_associative(rng):
+    """(a∘b)∘c == a∘(b∘c) on random PD elements — the property that makes
+    associative_scan legal."""
+    from timeopt_tpu.ops.linalg import sym as _sym
+    from timeopt_tpu.solver.horizon import LFTElements, lft_compose
+
+    def rand_elem(key_seed):
+        r = np.random.default_rng(key_seed)
+        H = r.standard_normal((4, 4))
+        E = jnp.asarray(H @ H.T + np.eye(4))
+        F = jnp.asarray(r.standard_normal((4, 4)))
+        H2 = r.standard_normal((4, 4)) * 0.5
+        G = jnp.asarray(H2 @ H2.T)
+        return LFTElements(E=E, F=F, G=G)
+
+    a, b, c = rand_elem(1), rand_elem(2), rand_elem(3)
+    left = lft_compose(lft_compose(a, b), c)
+    right = lft_compose(a, lft_compose(b, c))
+    for l, r in zip(left, right):
+        np.testing.assert_allclose(np.asarray(l), np.asarray(r), rtol=1e-8, atol=1e-9)

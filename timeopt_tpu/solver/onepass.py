@@ -1,0 +1,520 @@
+"""One-pass horizon selection (baseline2) — jittable re-design.
+
+Reference counterparts:
+- negative-time prefix construction: extend_nominal_backward +
+  fixedpoint/newton preimage steps (/root/reference/linearization.py:41-170)
+- single backward sweep with per-step LM escalation:
+  value_expansions_and_gains_prefix (/root/reference/horizon_selection.py:97-212)
+- windowed center-out pick with locality gate:
+  onepass_pick_T_singlepass (/root/reference/horizon_selection.py:215-282)
+- shifted-gain rollout, best-of-alpha: onepass_rollout
+  (/root/reference/solver.py:365-442)
+- outer-loop branch incl. window shrinks and numerical-failure fallback to a
+  fixed-T̄ update (/root/reference/solver.py:630-732)
+
+Jittability transforms applied:
+- T̄ is traced: the backward sweep runs over the full static length
+  L = T_max + S with the terminal injected at index T̄+S and pass-through
+  above it (same masking pattern as the truncated backward pass).
+- The reference's per-step LM escalation (x10 up to 12 tries) becomes a
+  static 3-rung ladder (lam, lam*1e4, lam*1e8) selected by SPD-ness —
+  coarser steps covering the same range, branchless.
+- The reference's typed exceptions become an `ok` flag; the fallback
+  fixed-T̄ update is computed unconditionally and selected where ~ok (under
+  vmap a per-problem branch is a select anyway).
+- Center-out candidate order + strict-improvement scan becomes a
+  lexicographic masked argmin over (J, |T - T̄|, T) — identical selection.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from timeopt_tpu.models.base import Problem, System
+from timeopt_tpu.ops.linalg import gj_solve, spd_check, sym
+from timeopt_tpu.ops.wrap import wrap_error
+from timeopt_tpu.solver.backward import stage_expansion
+from timeopt_tpu.solver.cost import cost_true
+from timeopt_tpu.solver.linearize import linearize
+
+
+# =============================================================================
+# Negative-time prefix
+# =============================================================================
+
+
+def fixedpoint_preimage_step(step, x_next, u_prev, *, n_iter=4, tol=1e-9, damping=0.5):
+    """Approximate solve of F(x_prev, u) = x_next by damped fixed-point
+    iteration x <- x - damping (F(x,u) - x_next); stops updating once
+    converged or once F goes non-finite (reference linearization.py:41-71)."""
+
+    def body(_, x):
+        fx = step(x, u_prev)
+        r = fx - x_next
+        nr = jnp.sqrt(jnp.sum(jnp.square(r)))
+        stop = (~jnp.all(jnp.isfinite(fx))) | (nr < tol)
+        return jnp.where(stop, x, x - damping * r)
+
+    return lax.fori_loop(0, n_iter, body, x_next)
+
+
+def newton_preimage_step(step, x_next, u_prev, *, n_iter=10, tol=1e-9):
+    """Newton preimage (debug/accuracy mode; reference
+    linearization.py:74-106) using an AD Jacobian instead of the reference's
+    finite differences."""
+
+    def body(_, x):
+        fx = step(x, u_prev)
+        g = fx - x_next
+        stop = (~jnp.all(jnp.isfinite(fx))) | (jnp.sqrt(jnp.sum(jnp.square(g))) < tol)
+        J = jax.jacfwd(lambda xx: step(xx, u_prev))(x)
+        dx = jnp.linalg.solve(J, g)
+        x1 = x - dx
+        x1 = jnp.where(jnp.all(jnp.isfinite(x1)), x1, x - 0.5 * dx)
+        return jnp.where(stop, x, x1)
+
+    return lax.fori_loop(0, n_iter, body, x_next)
+
+
+def extend_nominal_backward(
+    system: System,
+    X: jax.Array,
+    U: jax.Array,
+    u_fill: jax.Array,
+    S_back: int,
+    *,
+    method: str = "fixedpoint",
+    n_iter: int = 4,
+    damping: float = 0.5,
+):
+    """Build a feasible-ish negative-time prefix of static length S_back with
+    constant fill control (reference linearization.py:109-170).
+
+    Returns X_ext: (S_back + N + 1, n), U_ext: (S_back + N, m)."""
+    if S_back <= 0:
+        return X, U
+
+    if method == "copy":
+        pre = lambda x_next: x_next
+    elif method == "newton":
+        pre = lambda x_next: newton_preimage_step(system.step, x_next, u_fill)
+    else:
+        pre = lambda x_next: fixedpoint_preimage_step(
+            system.step, x_next, u_fill, n_iter=n_iter, damping=damping
+        )
+
+    def scan_body(x_curr, _):
+        x_prev = pre(x_curr)
+        # non-finite preimage -> keep constant (reference :162-164)
+        x_prev = jnp.where(jnp.all(jnp.isfinite(x_prev)), x_prev, x_curr)
+        return x_prev, x_prev
+
+    _, X_pre_rev = lax.scan(scan_body, X[0], None, length=S_back)
+    X_pre = X_pre_rev[::-1]  # X_pre[s] is x_{-(S_back-s)}
+    U_pre = jnp.broadcast_to(u_fill, (S_back, U.shape[1]))
+    return jnp.concatenate([X_pre, X], axis=0), jnp.concatenate([U_pre, U], axis=0)
+
+
+# =============================================================================
+# Single backward sweep with gains (value expansions over the prefix)
+# =============================================================================
+
+
+class SweepResult(NamedTuple):
+    Vxx: jax.Array  # (L, n, n) value Hessian at index i (time t = i - S)
+    Vx: jax.Array  # (L, n)
+    V0: jax.Array  # (L,)
+    K: jax.Array  # (L, m, n)
+    kff: jax.Array  # (L, m)
+    ok: jax.Array  # () bool
+
+
+def value_sweep_prefix(
+    system: System,
+    prob: Problem,
+    A_ext: jax.Array,
+    B_ext: jax.Array,
+    X_ext: jax.Array,
+    U_ext: jax.Array,
+    T_bar: jax.Array,
+    S: int,
+    lm_lambda: jax.Array,
+) -> SweepResult:
+    """Backward sweep for t in [-S, T̄-1] with terminal at T̄ (array index
+    i = t + S). Runs over the full static length L = T_max + S with masking.
+    """
+    L = prob.T_max + S
+    m = prob.m
+    n = prob.n
+    dtype = X_ext.dtype
+
+    e, du, lx, lu, l0, Qstage = stage_expansion(
+        system, prob, X_ext[: L + 1], U_ext[:L]
+    )
+    QfT = sym(prob.Qf)
+    I_m = jnp.eye(m, dtype=dtype)
+    iT = T_bar + S
+    lam0 = jnp.maximum(lm_lambda, 1e-12)
+
+    def f(carry, inp):
+        Vx, Vxx, V0, ok = carry
+        i, Ai, Bi, lxi, lui, l0i, Qsi, x_next, ei, dui = inp
+
+        eT = wrap_error(x_next - prob.xg, prob.wrap_mask)
+        is_term = (i + 1) == iT
+        Vx_in = jnp.where(is_term, prob.Qf @ eT, Vx)
+        Vxx_in = jnp.where(is_term, QfT, Vxx)
+        V0_in = jnp.where(is_term, 0.5 * eT @ (prob.Qf @ eT), V0)
+        ok = ok & jnp.where(is_term, jnp.all(jnp.isfinite(eT)), True)
+
+        Qx = lxi + Ai.T @ Vx_in
+        Qu = lui + Bi.T @ Vx_in
+        Qxx = Qsi + Ai.T @ Vxx_in @ Ai
+        Quu = prob.R + Bi.T @ Vxx_in @ Bi
+        Qux = Bi.T @ Vxx_in @ Ai
+
+        # static LM ladder replacing the reference's x10-up-to-12-tries loop
+        Quu_s = sym(Quu)
+        lams = jnp.stack([lam0, lam0 * 1e4, lam0 * 1e8])
+        regs = Quu_s[None] + lams[:, None, None] * I_m[None]
+        spd = jax.vmap(spd_check)(regs)  # (3,)
+        pick = jnp.argmax(spd)  # first SPD rung
+        Quu_reg = regs[pick]
+        any_spd = jnp.any(spd)
+
+        invQuuQu = gj_solve(Quu_reg, Qu)
+        invQuuQux = gj_solve(Quu_reg, Qux)
+
+        kff_i = -invQuuQu
+        K_i = -invQuuQux
+        Vx_new = Qx - Qux.T @ invQuuQu
+        Vxx_new = sym(Qxx - Qux.T @ invQuuQux)
+        V0_new = l0i + V0_in - 0.5 * Qu @ invQuuQu
+
+        active = i < iT
+        step_ok = (
+            any_spd
+            & jnp.all(jnp.isfinite(ei))
+            & jnp.all(jnp.isfinite(dui))
+            & jnp.all(jnp.isfinite(Ai))
+            & jnp.all(jnp.isfinite(Bi))
+            & jnp.all(jnp.isfinite(Vx_new))
+            & jnp.all(jnp.isfinite(Vxx_new))
+            & jnp.isfinite(V0_new)
+        )
+        ok = ok & jnp.where(active, step_ok, True)
+
+        Vx_out = jnp.where(active, Vx_new, Vx_in)
+        Vxx_out = jnp.where(active, Vxx_new, Vxx_in)
+        V0_out = jnp.where(active, V0_new, V0_in)
+        zero = jnp.asarray(0.0, dtype)
+        return (Vx_out, Vxx_out, V0_out, ok), (
+            Vxx_out,
+            Vx_out,
+            V0_out,
+            jnp.where(active, K_i, zero),
+            jnp.where(active, kff_i, zero),
+        )
+
+    init = (
+        jnp.zeros(n, dtype),
+        jnp.zeros((n, n), dtype),
+        jnp.zeros((), dtype),
+        jnp.asarray(True),
+    )
+    idx = jnp.arange(L)
+    (_, _, _, ok), (Vxx, Vx, V0, K, kff) = lax.scan(
+        f,
+        init,
+        (idx, A_ext[:L], B_ext[:L], lx, lu, l0, Qstage, X_ext[1 : L + 1], e, du),
+        reverse=True,
+    )
+    return SweepResult(Vxx=Vxx, Vx=Vx, V0=V0, K=K, kff=kff, ok=ok)
+
+
+# =============================================================================
+# Windowed pick
+# =============================================================================
+
+
+def onepass_pick(
+    prob: Problem,
+    sweep: SweepResult,
+    X_ext: jax.Array,
+    x0: jax.Array,
+    T_bar: jax.Array,
+    S: int,
+    S_L: jax.Array,
+    S_R: jax.Array,
+    *,
+    locality_mult: float = 5.0,
+):
+    """Pick T* in [max(T_min, T̄-S_L), min(T_max, T̄+S_R)] by the quadratic
+    value model, center-out with a locality gate
+    (reference horizon_selection.py:215-282)."""
+    T_max, T_min = prob.T_max, prob.T_min
+    dtype = X_ext.dtype
+    Ts = jnp.arange(1, T_max + 1)
+
+    Lb = jnp.maximum(T_min, T_bar - S_L)
+    Rb = jnp.minimum(T_max, T_bar + S_R)
+    i_arr = T_bar - Ts + S  # start index for horizon T
+    in_win = (Ts >= Lb) & (Ts <= Rb) & (i_arr >= 0) & (i_arr < X_ext.shape[0])
+
+    Xi = jnp.take(X_ext, jnp.clip(i_arr, 0, X_ext.shape[0] - 1), axis=0)
+    dx0 = jax.vmap(lambda xi: wrap_error(x0 - xi, prob.wrap_mask))(Xi)  # (T_max, n)
+    dn = jnp.sqrt(jnp.sum(jnp.square(dx0), axis=-1))
+
+    # locality gate: 5x median of nonzero finite candidate distances
+    norm_ok = jnp.isfinite(dn) & (dn > 1e-12) & in_win
+    med = jnp.nanmedian(jnp.where(norm_ok, dn, jnp.nan))
+    dx_max = jnp.where(
+        jnp.any(norm_ok), locality_mult * med, jnp.asarray(jnp.inf, dtype)
+    )
+
+    ic = jnp.clip(i_arr, 0, sweep.Vxx.shape[0] - 1)
+    Vxx_i = jnp.take(sweep.Vxx, ic, axis=0)
+    Vx_i = jnp.take(sweep.Vx, ic, axis=0)
+    V0_i = jnp.take(sweep.V0, ic, axis=0)
+    JT = (
+        0.5 * jnp.einsum("ti,tij,tj->t", dx0, Vxx_i, dx0)
+        + jnp.einsum("ti,ti->t", Vx_i, dx0)
+        + V0_i
+    )
+
+    evaluated = in_win & (dn <= dx_max)
+    Jw = jnp.where(evaluated, JT, jnp.asarray(jnp.nan, dtype))
+
+    # center-out strict-improvement scan == lexicographic min over
+    # (J, |T - T̄|, T) restricted to evaluated candidates with finite J
+    J_masked = jnp.where(evaluated & jnp.isfinite(JT), JT, jnp.inf)
+    bestJ = jnp.min(J_masked)
+    tie = J_masked == bestJ
+    penalty = jnp.abs(Ts - T_bar) * (T_max + 2) + Ts
+    bestT_idx = jnp.argmin(jnp.where(tie, penalty, jnp.iinfo(jnp.int32).max))
+    bestT = Ts[bestT_idx]
+    fallbackT = jnp.clip(T_bar, Lb, Rb)
+    bestT = jnp.where(jnp.isfinite(bestJ), bestT, fallbackT)
+    # degenerate window (L > R): clip T̄ into [T_min, T_max]
+    bestT = jnp.where(Lb > Rb, jnp.clip(T_bar, T_min, T_max), bestT)
+    return bestT.astype(jnp.int32), Jw
+
+
+# =============================================================================
+# Shifted-gain rollout
+# =============================================================================
+
+
+def onepass_rollout(
+    system: System,
+    prob: Problem,
+    X_ext: jax.Array,
+    U_ext: jax.Array,
+    sweep: SweepResult,
+    T_bar: jax.Array,
+    T_star: jax.Array,
+    S: int,
+    *,
+    alphas=(1.0, 0.5, 0.25, 0.1),
+):
+    """Roll out the one-pass policy u_t = ū_idx + K_idx wrap(x - x̄_idx)
+    + α k_idx with idx = (T̄ - T*) + t + S for t < T*, then nominal controls;
+    best-of-alpha by cost (reference solver.py:365-442)."""
+    N = prob.N
+    dtype = X_ext.dtype
+    t0off = T_bar - T_star + S
+    U_orig = U_ext[S:]
+    x_start = X_ext[S]
+    Lmax = sweep.K.shape[0]
+
+    def roll_one(a):
+        def f(x, inp):
+            t, U_t = inp
+            idx = jnp.clip(t0off + t, 0, Lmax - 1)
+            active = t < T_star
+            dx = wrap_error(x - X_ext[idx], prob.wrap_mask)
+            du = sweep.K[idx] @ dx + a * sweep.kff[idx]
+            u = jnp.where(active, U_ext[idx] + du, U_t)
+            xn = system.step(x, u)
+            return xn, (xn, u)
+
+        _, (Xtail, Un) = lax.scan(f, x_start, (jnp.arange(N), U_orig))
+        Xn = jnp.concatenate([x_start[None], Xtail], axis=0)
+        finite = jnp.all(jnp.isfinite(Xn))
+        Jn = cost_true(system, prob, Xn, Un, T_star)
+        Jn = jnp.where(finite, Jn, jnp.asarray(jnp.inf, dtype))
+        return Xn, Un, Jn
+
+    Xs, Us, Js = jax.vmap(roll_one)(jnp.asarray(alphas, dtype))
+    best = jnp.argmin(Js)
+    ok = jnp.isfinite(Js[best])
+    Xb = jnp.where(ok, Xs[best], jnp.concatenate([x_start[None], X_ext[S + 1 :]], 0))
+    Ub = jnp.where(ok, Us[best], U_orig)
+    return Xb, Ub, jnp.where(ok, Js[best], jnp.inf), ok
+
+
+# =============================================================================
+# One-pass outer loop
+# =============================================================================
+
+
+def solve_onepass(system: System, opts, prob: Problem, U_init: jax.Array):
+    """Full one-pass solve (reference outer-loop branch solver.py:630-732).
+
+    The numerical-failure fallback (fixed-T̄ truncated update) is computed
+    unconditionally and selected where the sweep's ok-flag is False — the
+    branchless analogue of the reference's try/except."""
+    from timeopt_tpu.solver.backward import backward_truncated
+    from timeopt_tpu.solver.forward import forward_linesearch
+    from timeopt_tpu.solver.cost import argmin_T, nominal_cost_curve, rollout
+    from timeopt_tpu.solver.ilqr import SolveResult, _LoopState, _roll3, _tree_select
+
+    dtype = U_init.dtype
+    i32 = jnp.int32
+    S = int(opts.S_window)
+    prefix_mode = opts.linearize_mode if opts.linearize_mode == "ad" else "forward"
+
+    X = rollout(system, prob, prob.x0, U_init)
+    U = U_init
+
+    # initial T̄ from the nominal cost curve (reference solver.py:534-537)
+    J_nom = nominal_cost_curve(system, prob, X, U)
+    T_bar = argmin_T(J_nom, prob.T_min, prob.T_max)
+
+    # warm-start fixed-T̄ update (reference solver.py:540-555)
+    A, B = linearize(system.step, X, U, opts.linearize_mode)
+    lm0 = jnp.asarray(opts.lm_init, dtype)
+    bw = backward_truncated(system, prob, A, B, X, U, T_bar, lm0)
+    ls = forward_linesearch(system, prob, X, U, bw.K, bw.kappa, T_bar, alphas=opts.alphas)
+    warm_ok = bw.ok & jnp.isfinite(ls.J)
+    X = jnp.where(bw.ok, ls.X, X)
+    U = jnp.where(bw.ok, ls.U, U)
+
+    hist_len = opts.max_iter + 1
+    J_hist = jnp.full((hist_len,), jnp.nan, dtype)
+    T_hist = jnp.full((hist_len,), -1, i32)
+    J_hist = jnp.where(warm_ok, J_hist.at[0].set(ls.J), J_hist)
+    T_hist = jnp.where(warm_ok, T_hist.at[0].set(T_bar), T_hist)
+
+    sentinel = jnp.asarray([-1, -2, -3], i32)
+    state = _LoopState(
+        X=X, U=U, lm=lm0, T_bar=T_bar,
+        J_last=jnp.where(warm_ok, ls.J, jnp.asarray(jnp.inf, dtype)),
+        J_prev=jnp.asarray(jnp.inf, dtype),
+        n_acc=jnp.where(warm_ok, 1, 0).astype(i32),
+        T3=jnp.where(warm_ok, _roll3(sentinel, T_bar), sentinel),
+        done=jnp.asarray(False),
+        J_curve=jnp.full((prob.T_max,), jnp.nan, dtype),
+        J_hist=J_hist, T_hist=T_hist,
+    )
+
+    def body(s, _):
+        A, B = linearize(system.step, s.X, s.U, opts.linearize_mode)
+
+        # prefix build + forward-diff prefix linearization
+        # (reference solver.py:633-655; fill control = U[0])
+        X_ext, U_ext = extend_nominal_backward(
+            system, s.X, s.U, s.U[0], S, method=opts.onepass_preimage
+        )
+        if S > 0:
+            A_pre, B_pre = linearize(
+                system.step, X_ext[: S + 1], U_ext[:S], prefix_mode
+            )
+            A_ext = jnp.concatenate([A_pre, A], axis=0)
+            B_ext = jnp.concatenate([B_pre, B], axis=0)
+        else:
+            A_ext, B_ext = A, B
+
+        sweep = value_sweep_prefix(
+            system, prob, A_ext, B_ext, X_ext, U_ext, s.T_bar, S, s.lm
+        )
+
+        cur_J_prev = s.J_last
+
+        # pick + rollout with up to 3 window shrinks (reference :706-732)
+        taken = jnp.asarray(False)
+        Xo, Uo = s.X, s.U
+        Jo = jnp.asarray(jnp.inf, dtype)
+        T_sel = s.T_bar
+        Jw_last = jnp.full((prob.T_max,), jnp.nan, dtype)
+        for j in range(3):
+            S_L = jnp.asarray(max(1, S // (2**j)), i32)
+            S_R = jnp.asarray(max(1, S // (2**j)), i32)
+            T_j, Jw_j = onepass_pick(
+                prob, sweep, X_ext, X_ext[S], s.T_bar, S, S_L, S_R
+            )
+            Xc, Uc, Jc, okroll = onepass_rollout(
+                system, prob, X_ext, U_ext, sweep, s.T_bar, T_j, S,
+                alphas=opts.alphas[: min(4, len(opts.alphas))],
+            )
+            acc_j = okroll & (Jc < cur_J_prev)
+            take_now = acc_j & (~taken)
+            Xo = jnp.where(take_now, Xc, Xo)
+            Uo = jnp.where(take_now, Uc, Uo)
+            Jo = jnp.where(take_now, Jc, Jo)
+            T_sel = jnp.where(take_now | (~taken), T_j, T_sel)
+            Jw_last = jnp.where((~taken), Jw_j, Jw_last)
+            taken = taken | acc_j
+
+        acc_op = taken
+        ok_sweep = sweep.ok
+
+        # fallback fixed-T̄ update (reference :674-701)
+        bw_fb = backward_truncated(system, prob, A, B, s.X, s.U, s.T_bar, s.lm)
+        ls_fb = forward_linesearch(
+            system, prob, s.X, s.U, bw_fb.K, bw_fb.kappa, s.T_bar, alphas=opts.alphas
+        )
+        acc_fb = bw_fb.ok & ls_fb.accepted
+
+        acc = jnp.where(ok_sweep, acc_op, acc_fb)
+        Xn = jnp.where(ok_sweep, Xo, jnp.where(acc_fb, ls_fb.X, s.X))
+        Un = jnp.where(ok_sweep, Uo, jnp.where(acc_fb, ls_fb.U, s.U))
+        Jn = jnp.where(ok_sweep, Jo, ls_fb.J)
+        T_star = jnp.where(ok_sweep, T_sel, s.T_bar)
+        J_curve = jnp.where(ok_sweep, Jw_last, s.J_curve)
+
+        acc = acc & jnp.isfinite(Jn)
+        n_acc = s.n_acc + acc.astype(i32)
+        upd = _LoopState(
+            X=jnp.where(acc, Xn, s.X),
+            U=jnp.where(acc, Un, s.U),
+            lm=jnp.where(acc, jnp.maximum(s.lm / 10.0, 1e-12), s.lm * 10.0),
+            T_bar=jnp.where(acc, T_star, s.T_bar),
+            J_last=jnp.where(acc, Jn, s.J_last),
+            J_prev=jnp.where(acc, s.J_last, s.J_prev),
+            n_acc=n_acc,
+            T3=jnp.where(acc, _roll3(s.T3, T_star), s.T3),
+            done=s.done,
+            J_curve=J_curve,
+            J_hist=jnp.where(
+                acc, lax.dynamic_update_index_in_dim(s.J_hist, Jn, s.n_acc, 0), s.J_hist
+            ),
+            T_hist=jnp.where(
+                acc, lax.dynamic_update_index_in_dim(s.T_hist, T_star, s.n_acc, 0), s.T_hist
+            ),
+        )
+        rel = jnp.abs(upd.J_last - upd.J_prev) / (jnp.abs(upd.J_prev) + 1e-12)
+        conv = (
+            (upd.n_acc >= 2) & (rel < opts.rel_tol)
+            & (upd.n_acc >= 3) & jnp.all(upd.T3 == upd.T3[2])
+        )
+        upd = upd._replace(done=s.done | conv)
+        return _tree_select(s.done, s, upd), None
+
+    state, _ = lax.scan(body, state, None, length=opts.max_iter)
+
+    return SolveResult(
+        X=state.X,
+        U=state.U,
+        T_star=jnp.where(state.n_acc > 0, state.T3[2], state.T_bar).astype(i32),
+        J_star=state.J_last,
+        J_curve=state.J_curve,
+        J_hist=state.J_hist,
+        T_hist=state.T_hist,
+        n_accept=state.n_acc,
+        lm_final=state.lm,
+    )
