@@ -1,0 +1,102 @@
+"""Benchmark: batched quadrotor HOP-DDP solves/s on one chip.
+
+Reference headline to beat: a single quadrotor HOP-DDP solve in 2.9 s on CPU
+(/root/reference/README.md:26; BASELINE.md). This benchmark runs the full
+solver (AD linearize -> LFT propagator sweep -> truncated backward -> line
+search, max_iter=12 as in the reference suite) on a batch of perturbed
+quadrotor problems (the reference's trial distribution,
+/root/reference/run_suite.py:72) in fp32 and reports solves/s.
+
+vs_baseline = measured solves/s divided by the reference's 1/2.9 solves/s
+(i.e. the per-solve speedup over the reference single solve).
+
+Prints exactly ONE JSON line on stdout.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", "1024"))
+REPS = int(os.environ.get("BENCH_REPS", "5"))
+MAX_ITER = 12
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from timeopt_tpu.models import get_system
+    from timeopt_tpu.solver.ilqr import SolveOptions, solve_batch, stack_problems
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}, batch={BATCH}")
+
+    system, mk = get_system("Quadrotor")
+    base = mk(dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    x0s = np.tile(np.asarray(base.x0, np.float32), (BATCH, 1))
+    x0s[:, :3] += 0.4 * rng.standard_normal((BATCH, 3)).astype(np.float32)
+    probs = stack_problems([base] * BATCH).replace(x0=jnp.asarray(x0s))
+
+    opts = SolveOptions(method="propagator", max_iter=MAX_ITER, psd_levels=1)
+
+    t0 = time.perf_counter()
+    res = solve_batch(system, probs, options=opts)
+    jax.block_until_ready(res)
+    t_first = time.perf_counter() - t0
+    log(f"first call (compile+run): {t_first:.1f}s")
+
+    # throughput timing
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        res = solve_batch(system, probs, options=opts)
+        jax.block_until_ready(res)
+        times.append(time.perf_counter() - t0)
+    t_batch = min(times)
+    solves_per_s = BATCH / t_batch
+
+    # sanity: finite costs, in-range horizons, success rate at the suite tol
+    J = np.asarray(res.J_star)
+    T = np.asarray(res.T_star)
+    X = np.asarray(res.X)
+    xg = np.asarray(base.xg)
+    errs = np.array(
+        [np.linalg.norm(X[i, T[i]] - xg) for i in range(BATCH)]
+    )
+    finite = np.isfinite(J)
+    success = finite & (errs <= 0.5)
+    log(
+        f"batch time: {t_batch*1e3:.1f} ms  solves/s: {solves_per_s:.0f}  "
+        f"finite: {finite.mean():.3f}  success@0.5: {success.mean():.3f}  "
+        f"T* range: [{T.min()}, {T.max()}] median {np.median(T)}"
+    )
+
+    baseline_solves_per_s = 1.0 / 2.9
+    print(
+        json.dumps(
+            {
+                "metric": "quadrotor HOP-DDP solves/s (batched, 1 chip, max_iter=12)",
+                "value": round(solves_per_s, 2),
+                "unit": "solves/s",
+                "vs_baseline": round(solves_per_s / baseline_solves_per_s, 1),
+                "batch": BATCH,
+                "batch_time_s": round(t_batch, 4),
+                "success_rate": round(float(success.mean()), 4),
+                "T_star_median": float(np.median(T)),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

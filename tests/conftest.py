@@ -4,13 +4,16 @@ oracles, persistent compilation cache to keep repeat runs fast."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
+# Force the CPU backend via jax.config (NOT the JAX_PLATFORMS env var: the
+# host environment may pre-import jax with a TPU platform before conftest
+# runs, in which case env vars are never re-read).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")

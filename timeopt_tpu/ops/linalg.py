@@ -140,6 +140,24 @@ def spd_check(A: jax.Array) -> jax.Array:
     return finite & jnp.all(piv > 0, axis=-1) & jnp.all(jnp.isfinite(piv), axis=-1)
 
 
+def chol_lower(A: jax.Array) -> jax.Array:
+    """Unrolled batched Cholesky factor L (A = L L^T) of (..., n, n) SPD
+    matrices — right-looking outer-product form, n static steps of
+    broadcasted elementwise ops (same TPU-vectorization rationale as
+    gj_inv)."""
+    n = A.shape[-1]
+    M = sym(A)
+    idx = jnp.arange(n)
+    cols = []
+    for j in range(n):
+        d = jnp.sqrt(M[..., j, j])
+        c = M[..., :, j] / d[..., None]
+        c = c * (idx >= j)
+        M = M - c[..., :, None] * c[..., None, :]
+        cols.append(c)
+    return jnp.stack(cols, axis=-1)
+
+
 def as_terminal_weight(alpha, n: int, dtype=np.float64) -> np.ndarray:
     """Host-side helper: scalar / diag-vector / matrix terminal weight -> (n, n).
 

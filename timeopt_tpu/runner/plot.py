@@ -1,0 +1,141 @@
+"""Figure generation from summary_all.csv — behavioral parity with
+/root/reference/plot.py (robust ratio recomputation, success-only filtering,
+2-panel paper figure, per-case boxplots), new implementation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def _load(csv_path):
+    import pandas as pd
+
+    df = pd.read_csv(csv_path)
+    # recompute ratios robustly (reference plot.py:52-83)
+    best = df.groupby(["case", "trial"])["J_star"].transform("min")
+    df["cost_ratio_best"] = df["J_star"] / best
+    if (df["solver"] == "baseline1").any():
+        bt = (
+            df[df["solver"] == "baseline1"][["case", "trial", "total_time"]]
+            .rename(columns={"total_time": "time_base"})
+        )
+        df = df.drop(columns=[c for c in ("time_base", "time_ratio_base") if c in df], errors="ignore")
+        df = df.merge(bt, on=["case", "trial"], how="left")
+        df["time_ratio_base"] = df["total_time"] / df["time_base"]
+    return df
+
+
+def _success_only(df):
+    ok = df.groupby(["case", "trial"])["success"].transform("all")
+    return df[ok]
+
+
+def paper_main(df, outdir):
+    """2-panel median+IQR errorbar figure: runtime ratio (log scale) and cost
+    ratio per case/solver (reference plot.py:115-196)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    cases = sorted(df["case"].unique())
+    solvers = sorted(df["solver"].unique())
+    fig, axes = plt.subplots(1, 2, figsize=(11, 4))
+    xs = np.arange(len(cases))
+    width = 0.8 / max(len(solvers), 1)
+
+    for j, (col, ax, title, logy) in enumerate(
+        [
+            ("time_ratio_base", axes[0], "runtime / baseline1", True),
+            ("cost_ratio_best", axes[1], "cost / best", False),
+        ]
+    ):
+        for si, s in enumerate(solvers):
+            med, lo, hi = [], [], []
+            for c in cases:
+                v = df[(df["case"] == c) & (df["solver"] == s)][col].dropna()
+                if len(v) == 0:
+                    med.append(np.nan); lo.append(0); hi.append(0)
+                else:
+                    q1, q2, q3 = np.percentile(v, [25, 50, 75])
+                    med.append(q2); lo.append(q2 - q1); hi.append(q3 - q2)
+            ax.errorbar(
+                xs + (si - (len(solvers) - 1) / 2) * width,
+                med,
+                yerr=[lo, hi],
+                fmt="o",
+                capsize=3,
+                label=s,
+            )
+        ax.set_xticks(xs)
+        ax.set_xticklabels(cases, rotation=20, ha="right")
+        ax.set_title(title)
+        ax.grid(True, alpha=0.3)
+        if logy:
+            ax.set_yscale("log")
+    axes[0].legend()
+    fig.tight_layout()
+    out = os.path.join(outdir, "paper_main.png")
+    fig.savefig(out, dpi=160)
+    plt.close(fig)
+    return out
+
+
+def boxplots(df, outdir):
+    """Per-case boxplots of cost ratio / runtime ratio / T*
+    (reference plot.py:198-264)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    outs = []
+    for col, name in [
+        ("cost_ratio_best", "cost_ratio"),
+        ("time_ratio_base", "runtime_ratio"),
+        ("T_star", "T_star"),
+    ]:
+        cases = sorted(df["case"].unique())
+        solvers = sorted(df["solver"].unique())
+        fig, axes = plt.subplots(1, len(cases), figsize=(3.2 * len(cases), 3.6), squeeze=False)
+        for ci, c in enumerate(cases):
+            ax = axes[0][ci]
+            data = [
+                df[(df["case"] == c) & (df["solver"] == s)][col].dropna().values
+                for s in solvers
+            ]
+            ax.boxplot(data, tick_labels=solvers)
+            ax.set_title(c, fontsize=9)
+            ax.tick_params(axis="x", rotation=30)
+            ax.grid(True, alpha=0.3)
+        fig.suptitle(name)
+        fig.tight_layout()
+        out = os.path.join(outdir, f"boxplot_{name}.png")
+        fig.savefig(out, dpi=160)
+        plt.close(fig)
+        outs.append(out)
+    return outs
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--csv", type=str, default="ilqr_results/summary_all.csv")
+    ap.add_argument("--outdir", type=str, default="ilqr_results")
+    ap.add_argument("--all-trials", action="store_true", help="include failed trials")
+    args = ap.parse_args(argv)
+
+    df = _load(args.csv)
+    if not args.all_trials:
+        df = _success_only(df)
+    os.makedirs(args.outdir, exist_ok=True)
+    outs = [paper_main(df, args.outdir)] + boxplots(df, args.outdir)
+    for o in outs:
+        print("wrote", o)
+
+
+if __name__ == "__main__":
+    main()

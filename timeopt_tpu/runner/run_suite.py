@@ -1,0 +1,270 @@
+"""Benchmark suite runner — CLI + CSV schema parity with the reference
+(/root/reference/run_suite.py), TPU-batched execution.
+
+Same flags (--outdir --trials --seed --max-iter --S-window --use-central-diff
+--success-tol --solvers --cases), same output schema (summary_all.csv /
+summary_agg.csv with columns case, trial, solver, status, T_star, J_star,
+total_time, final_err, success, n_iter, solver_error, best_J,
+cost_ratio_best, time_base, time_ratio_base), same success criterion
+(finite J* and ||wrap(x_T* - xg)|| <= tol, reference run_suite.py:169-175).
+
+Differences (TPU-native):
+- All trials of a (case, solver) run as ONE batched vmapped solve; per-trial
+  `total_time` is the batch wall-clock divided by the number of trials
+  (amortized). `--timing per-solve` instead times each trial individually
+  (compile cached after the first) for single-solve latency numbers.
+- Trial sampling uses a stable CRC32 case hash instead of Python's salted
+  `hash()` (the reference's seeding is not reproducible across processes).
+- Numerical failures surface as non-finite J* rows (status="fail") rather
+  than exceptions; there is no "crash" status because the jittable solver
+  cannot throw (reference exception policy: run_suite.py:137-156).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+import zlib
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+CASES = [
+    "DoubleIntegrator",
+    "Cartpole_SwingUp",
+    "Quadrotor",
+    "Segway_Balance",
+    "Ballbot_Balance",
+]
+
+SOLVER_METHODS = {
+    "ourmethod": "propagator",
+    "baseline1": "bruteforce",
+    "baseline2": "onepass",
+}
+
+
+def _case_rng(seed: int, case: str) -> np.random.Generator:
+    return np.random.default_rng(int(seed) + zlib.crc32(case.encode()) % 10_000)
+
+
+def build_trial_problems(case: str, trials: int, seed: int, dtype):
+    """Trial 0 = nominal x0/xg; trials 1.. = Gaussian-perturbed with the
+    per-case sigmas (reference run_suite.py:69-74, 114-120)."""
+    from timeopt_tpu.models import get_system
+    from timeopt_tpu.solver.ilqr import stack_problems
+
+    system, mk = get_system(case)
+    base = mk(dtype=dtype)
+    rng = _case_rng(seed, case)
+
+    sx = np.asarray(system.sigma_x0, float)
+    sg = np.asarray(system.sigma_xg, float)
+    x0s = [np.asarray(base.x0)]
+    xgs = [np.asarray(base.xg)]
+    for _ in range(1, trials):
+        x0s.append(np.asarray(base.x0) + sx * rng.standard_normal(system.n))
+        xgs.append(np.asarray(base.xg) + sg * rng.standard_normal(system.n))
+
+    probs = stack_problems([base] * trials)
+    probs = probs.replace(
+        x0=jnp.asarray(np.stack(x0s), dtype), xg=jnp.asarray(np.stack(xgs), dtype)
+    )
+    return system, base, probs
+
+
+def run_case(
+    case: str,
+    *,
+    trials: int,
+    seed: int,
+    solvers,
+    max_iter: int,
+    S_window: int,
+    use_central_diff: bool,
+    success_tol: float,
+    timing: str = "amortized",
+    dtype=jnp.float64,
+):
+    from timeopt_tpu.ops.wrap import wrap_error
+    from timeopt_tpu.solver.ilqr import SolveOptions, solve_batch, solve
+
+    system, base, probs = build_trial_problems(case, trials, seed, dtype)
+    lin_mode = "central" if use_central_diff else "ad"
+
+    rows = []
+    for solver_name in solvers:
+        method = SOLVER_METHODS[solver_name]
+        opts = SolveOptions(
+            method=method, max_iter=max_iter, S_window=S_window, linearize_mode=lin_mode
+        )
+
+        # warmup/compile on the full batch, then time
+        t0 = time.perf_counter()
+        res = solve_batch(system, probs, options=opts)
+        jax.block_until_ready(res)
+        compile_and_run = time.perf_counter() - t0
+
+        if timing == "per-solve":
+            per_trial_times = []
+            for i in range(trials):
+                pi = jax.tree.map(lambda x: x[i], probs)
+                t0 = time.perf_counter()
+                ri = solve(system, pi, options=opts)
+                jax.block_until_ready(ri)
+                per_trial_times.append(time.perf_counter() - t0)
+        else:
+            t0 = time.perf_counter()
+            res = solve_batch(system, probs, options=opts)
+            jax.block_until_ready(res)
+            batch_time = time.perf_counter() - t0
+            per_trial_times = [batch_time / trials] * trials
+
+        T = np.asarray(res.T_star)
+        J = np.asarray(res.J_star)
+        X = np.asarray(res.X)
+        nacc = np.asarray(res.n_accept)
+        xg = np.asarray(probs.xg)
+        wrap_mask = np.asarray(base.wrap_mask)
+
+        for i in range(trials):
+            eT = np.asarray(
+                wrap_error(jnp.asarray(X[i, T[i]] - xg[i]), jnp.asarray(wrap_mask))
+            )
+            final_err = float(np.linalg.norm(eT))
+            success = bool(
+                np.isfinite(J[i]) and np.isfinite(final_err) and final_err <= success_tol
+            )
+            rows.append(
+                {
+                    "case": case,
+                    "trial": i,
+                    "solver": solver_name,
+                    "status": "ok" if success else "fail",
+                    "T_star": int(T[i]),
+                    "J_star": float(J[i]),
+                    "total_time": float(per_trial_times[i]),
+                    "final_err": final_err,
+                    "success": success,
+                    "n_iter": int(nacc[i]),
+                    "solver_error": None,
+                    "compile_and_run_s": float(compile_and_run),
+                }
+            )
+        print(
+            f"[{case}] {solver_name}: median T*="
+            f"{int(np.median(T))} median J*={np.median(J):.4g} "
+            f"time/solve={np.median(per_trial_times)*1e3:.2f} ms "
+            f"success={np.mean([r['success'] for r in rows if r['solver']==solver_name and r['case']==case]):.2f}",
+            flush=True,
+        )
+    return rows
+
+
+def enrich_and_aggregate(df, solvers):
+    """best_J / cost_ratio_best / time_ratio_base enrichment + per-(case,
+    solver) aggregation (reference run_suite.py:196-292)."""
+    import pandas as pd
+
+    best = df.groupby(["case", "trial"])["J_star"].transform("min")
+    df["best_J"] = best
+    df["cost_ratio_best"] = df["J_star"] / df["best_J"]
+
+    if "baseline1" in solvers:
+        base_time = (
+            df[df["solver"] == "baseline1"][["case", "trial", "total_time"]]
+            .rename(columns={"total_time": "time_base"})
+        )
+        df = df.merge(base_time, on=["case", "trial"], how="left")
+        df["time_ratio_base"] = df["total_time"] / df["time_base"]
+    else:
+        df["time_base"] = np.nan
+        df["time_ratio_base"] = np.nan
+
+    agg = (
+        df.groupby(["case", "solver"])
+        .agg(
+            n=("trial", "count"),
+            success_rate=("success", "mean"),
+            T_median=("T_star", "median"),
+            J_median=("J_star", "median"),
+            time_median=("total_time", "median"),
+            ratio_cost_median=("cost_ratio_best", "median"),
+            ratio_time_median=("time_ratio_base", "median"),
+        )
+        .reset_index()
+    )
+    return df, agg
+
+
+def main(argv=None):
+    import pandas as pd
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--outdir", type=str, default="ilqr_results")
+    ap.add_argument("--trials", type=int, default=25)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--max-iter", type=int, default=12)
+    ap.add_argument("--S-window", type=int, default=20)
+    ap.add_argument("--use-central-diff", action="store_true")
+    ap.add_argument("--success-tol", type=float, default=0.5)
+    ap.add_argument("--solvers", type=str, default="ourmethod,baseline1,baseline2")
+    ap.add_argument("--cases", type=str, default="")
+    ap.add_argument("--timing", choices=["amortized", "per-solve"], default="amortized")
+    ap.add_argument("--f32", action="store_true", help="solve in float32 (TPU fast path)")
+    args = ap.parse_args(argv)
+
+    solvers = [s.strip() for s in args.solvers.split(",") if s.strip()]
+    for s in solvers:
+        if s not in SOLVER_METHODS:
+            raise ValueError(f"Unknown solver: {s}. Options: {list(SOLVER_METHODS)}")
+
+    cases = (
+        [c.strip() for c in args.cases.split(",") if c.strip()] if args.cases.strip() else CASES
+    )
+    for c in cases:
+        if c not in CASES:
+            raise ValueError(f"Unknown case: {c}. Options: {CASES}")
+
+    dtype = jnp.float32 if args.f32 else jnp.float64
+    if not args.f32:
+        jax.config.update("jax_enable_x64", True)
+
+    os.makedirs(args.outdir, exist_ok=True)
+    all_rows = []
+    for case in cases:
+        rows = run_case(
+            case,
+            trials=args.trials,
+            seed=args.seed,
+            solvers=solvers,
+            max_iter=args.max_iter,
+            S_window=args.S_window,
+            use_central_diff=args.use_central_diff,
+            success_tol=args.success_tol,
+            timing=args.timing,
+            dtype=dtype,
+        )
+        df_case, agg_case = enrich_and_aggregate(pd.DataFrame(rows), solvers)
+        case_dir = os.path.join(args.outdir, case)
+        os.makedirs(case_dir, exist_ok=True)
+        df_case.to_csv(os.path.join(case_dir, "summary_all.csv"), index=False)
+        agg_case.to_csv(os.path.join(case_dir, "summary_agg.csv"), index=False)
+        all_rows.extend(rows)
+
+    df_all, agg_all = enrich_and_aggregate(pd.DataFrame(all_rows), solvers)
+    df_all.to_csv(os.path.join(args.outdir, "summary_all.csv"), index=False)
+    agg_all.to_csv(os.path.join(args.outdir, "summary_agg.csv"), index=False)
+
+    print("\nSaved:")
+    print(" ", os.path.join(args.outdir, "summary_all.csv"))
+    print(" ", os.path.join(args.outdir, "summary_agg.csv"))
+    print(agg_all.to_string(index=False))
+
+
+if __name__ == "__main__":
+    main()

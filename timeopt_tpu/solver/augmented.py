@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from timeopt_tpu.models.base import Problem, System
-from timeopt_tpu.ops.linalg import psd_inv, sym
+from timeopt_tpu.ops.linalg import chol_lower, psd_inv, sym
 from timeopt_tpu.ops.wrap import wrap_error
 from timeopt_tpu.solver.cost import extra_cost_terms
 
@@ -82,6 +82,28 @@ def build_augmented(
 
     R_inv = psd_inv(prob.R, levels=psd_levels)
     return AugmentedBlocks(A_aug=A_aug, B_aug=B_aug, Q_aug=Q_aug, R_inv=R_inv)
+
+
+def build_terminal_factors(prob: Problem, X: jax.Array, *, rho_reg: float = 1e-12) -> jax.Array:
+    """Factored terminal data for the exact (inverse-free) propagator query.
+
+    The homogeneous terminal block QT_t = [I e_t]' P [I e_t] is rank-n —
+    *singular by construction* — which is why the reference regularizes it
+    and inverts anyway (/root/reference/augmented.py:63-87 +
+    horizon_selection.py:79-81), paying an O(1e-4) consistency error
+    (see plots/summary.csv `consistency_max_abs`). Here we return
+    C_t = L' [I e_t] (n x (n+1), P + rho I = L L') so the query can use the
+    push-through identity (QT^-1 + G)^-1 = C'(I + C G C')^-1 C — no singular
+    inversion, exact to machine precision.
+    """
+    n = prob.n
+    P = sym(prob.Qf) + rho_reg * jnp.eye(n, dtype=X.dtype)
+    Lt = jnp.swapaxes(chol_lower(P), -1, -2)  # (n, n) upper = L'
+    e = wrap_error(X[1:] - prob.xg, prob.wrap_mask)  # (N, n)
+    Le = e @ Lt.T  # (N, n) = L' e_t
+    N = e.shape[0]
+    C = jnp.concatenate([jnp.broadcast_to(Lt, (N, n, n)), Le[..., None]], axis=-1)
+    return C  # (N, n, n+1)
 
 
 def build_terminal_blocks(prob: Problem, X: jax.Array, *, rho_reg: float = 1e-12) -> jax.Array:

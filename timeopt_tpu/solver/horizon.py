@@ -97,13 +97,17 @@ def propagator_J_curve(
     *,
     psd_levels: int = 2,
 ) -> jax.Array:
-    """J(T) for T = 1..N: query every terminal block against the prefix at
-    T-1 (reference: /root/reference/horizon_selection.py:78-85).
+    """Reference-parity terminal query (inverts the regularized homogeneous
+    terminal block, /root/reference/horizon_selection.py:78-85):
 
     J(T) = 0.5 z0' X0^-1 z0 with
       X0 = Ebar_{T-1} - Fbar_{T-1} (QT_T^-1 + Gbar_{T-1})^-1 Fbar_{T-1}'
     and z0 = e_{n+1}, so z0' X0^-1 z0 is just the last component of the
     solve X0 y = z0 — no full inverse needed.
+
+    NOTE: QT is rank-deficient by construction, so this path inherits the
+    reference's O(1e-4) regularization error; prefer
+    propagator_J_curve_factored.
     """
     Eb, Fb, Gb = prefixes
     Xt = psd_inv(QT, levels=psd_levels)  # (N, p, p)
@@ -115,17 +119,54 @@ def propagator_J_curve(
     return 0.5 * y[..., -1]
 
 
+def propagator_J_curve_factored(
+    prefixes: LFTElements,
+    C: jax.Array,
+    *,
+    psd_levels: int = 2,
+) -> jax.Array:
+    """Exact inverse-free terminal query (default; TPU-native improvement
+    over the reference's regularized inversion of a singular block).
+
+    With QT = C'C (C = L'[I e_t] from build_terminal_factors), push-through:
+      (QT^-1 + G)^-1 = C' (I_n + C G C')^-1 C
+    so
+      X0 = E - (F C') (I_n + C G C')^-1 (C F')
+    and J(T) = 0.5 (X0^-1)[p-1, p-1] via one (n+1) solve. All inverted
+    matrices are well-conditioned SPD; the identity is exact (validated to
+    ~1e-9 against an independent Riccati oracle vs ~1e-4 for the reference
+    formulation, matching the reference's own consistency_max_abs)."""
+    Eb, Fb, Gb = prefixes
+    n = C.shape[-2]
+    Ct = jnp.swapaxes(C, -1, -2)  # (N, p, n)
+    S = jnp.eye(n, dtype=C.dtype) + C @ Gb @ Ct  # (N, n, n) SPD
+    FC = Fb @ Ct  # (N, p, n)
+    Y = psd_solve(S, jnp.swapaxes(FC, -1, -2), jitter=0.0, levels=psd_levels)  # (N, n, p)
+    X0 = sym(Eb - FC @ Y)
+    p = X0.shape[-1]
+    z0 = jnp.zeros((p,), dtype=X0.dtype).at[-1].set(1.0)
+    y = psd_solve(X0, jnp.broadcast_to(z0, X0.shape[:-1]), levels=psd_levels)
+    return 0.5 * y[..., -1]
+
+
 def propagator_select(
     blocks: AugmentedBlocks,
-    QT: jax.Array,
+    terminal: jax.Array,
     *,
     scan_mode: str = "sequential",
     psd_levels: int = 2,
+    terminal_mode: str = "factored",
 ) -> jax.Array:
-    """Full propagator sweep: blocks -> J(T) curve, T = 1..N."""
+    """Full propagator sweep: blocks -> J(T) curve, T = 1..N.
+
+    `terminal` is C from build_terminal_factors (terminal_mode="factored",
+    default) or QT from build_terminal_blocks (terminal_mode="inverse",
+    reference parity)."""
     elems = lft_elements(blocks, psd_levels=psd_levels)
     prefixes = lft_prefix_scan(elems, mode=scan_mode, psd_levels=psd_levels)
-    return propagator_J_curve(prefixes, QT, psd_levels=psd_levels)
+    if terminal_mode == "factored":
+        return propagator_J_curve_factored(prefixes, terminal, psd_levels=psd_levels)
+    return propagator_J_curve(prefixes, terminal, psd_levels=psd_levels)
 
 
 # =============================================================================

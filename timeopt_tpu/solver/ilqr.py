@@ -26,7 +26,11 @@ from jax import lax
 from flax import struct
 
 from timeopt_tpu.models.base import Problem, System
-from timeopt_tpu.solver.augmented import build_augmented, build_terminal_blocks
+from timeopt_tpu.solver.augmented import (
+    build_augmented,
+    build_terminal_blocks,
+    build_terminal_factors,
+)
 from timeopt_tpu.solver.backward import backward_truncated
 from timeopt_tpu.solver.cost import argmin_T, cost_true, nominal_cost_curve, rollout
 from timeopt_tpu.solver.forward import forward_linesearch
@@ -50,6 +54,7 @@ class SolveOptions:
     linearize_mode: str = "ad"  # "ad" | "central" | "forward"
     alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.05)
     scan_mode: str = "sequential"  # LFT prefix scan: "sequential" | "associative"
+    terminal_mode: str = "factored"  # "factored" (exact) | "inverse" (reference parity)
     psd_levels: int = 2
     q_reg: float = 1e-9
     rho_reg: float = 1e-12
@@ -98,9 +103,15 @@ def _select_curve(system: System, prob: Problem, opts: SolveOptions, X, U, A, B)
             system, prob, Xh, Uh, Ah, Bh,
             q_reg=opts.q_reg, rho_reg=opts.rho_reg, psd_levels=opts.psd_levels,
         )
-        QT = build_terminal_blocks(prob, Xh, rho_reg=opts.rho_reg)
+        if opts.terminal_mode == "factored":
+            terminal = build_terminal_factors(prob, Xh, rho_reg=opts.rho_reg)
+        else:
+            terminal = build_terminal_blocks(prob, Xh, rho_reg=opts.rho_reg)
         return propagator_select(
-            blocks, QT, scan_mode=opts.scan_mode, psd_levels=opts.psd_levels
+            blocks, terminal,
+            scan_mode=opts.scan_mode,
+            psd_levels=opts.psd_levels,
+            terminal_mode=opts.terminal_mode,
         )
     if opts.method == "bruteforce":
         return bruteforce_J_curve(
