@@ -134,6 +134,9 @@ def propagator_select_sharded(
         mesh=mesh,
         in_specs=(P(hs_axis), P(hs_axis)),
         out_specs=P(),
+        # the all_gather makes the output replicated; the static VMA checker
+        # cannot infer that, so disable it
+        check_vma=False,
     )
     def query(c_shard, pref_shard):
         J_local = propagator_J_curve_factored(
