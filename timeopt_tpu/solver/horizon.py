@@ -258,3 +258,53 @@ def bruteforce_J_curve(
             system, prob, A, B, X, U, T, lm_lambda=lm_lambda, psd_levels=psd_levels
         )
     )(Ts)
+
+
+# =============================================================================
+# Batched prefix scan with custom_vmap -> Pallas lanes kernel
+# =============================================================================
+
+
+def _pallas_scan_applicable(E: jax.Array) -> bool:
+    """Pallas lanes kernel: TPU backend, f32, batch a multiple of 128."""
+    try:
+        backend_ok = jax.devices()[0].platform == "tpu"
+    except Exception:
+        backend_ok = False
+    return (
+        backend_ok
+        and E.dtype == jnp.float32
+        and E.ndim == 4
+        and E.shape[0] % 128 == 0
+    )
+
+
+@jax.custom_batching.custom_vmap
+def lft_prefix_scan_cv(E: jax.Array, F: jax.Array, G: jax.Array):
+    """Sequential LFT prefix scan (psd_levels=1) with a custom batching rule:
+    when vmapped over a problem batch on TPU, the whole batch runs through
+    the fused Pallas lanes kernel (timeopt_tpu.ops.pallas_lft) instead of a
+    batch of per-problem XLA scans — identical math, ~10x less HBM traffic.
+
+    Unbatched signature: E, F, G are (N, p, p); returns prefix (E, F, G).
+    """
+    out = lft_prefix_scan(LFTElements(E, F, G), mode="sequential", psd_levels=1)
+    return out.E, out.F, out.G
+
+
+@lft_prefix_scan_cv.def_vmap
+def _lft_prefix_scan_vmap_rule(axis_size, in_batched, E, F, G):
+    del axis_size
+    assert all(in_batched), "prefix-scan batching rule expects all-batched args"
+    # E, F, G: (B, N, p, p), batch axis 0
+    if _pallas_scan_applicable(E):
+        from timeopt_tpu.ops.pallas_lft import lft_prefix_scan_lanes
+
+        Et, Ft, Gt = (jnp.transpose(x, (1, 2, 3, 0)) for x in (E, F, G))
+        Eo, Fo, Go = lft_prefix_scan_lanes(Et, Ft, Gt)
+        outs = tuple(jnp.transpose(x, (3, 0, 1, 2)) for x in (Eo, Fo, Go))
+    else:
+        outs = jax.vmap(
+            lambda e, f, g: lft_prefix_scan_cv(e, f, g)
+        )(E, F, G)
+    return outs, (True, True, True)

@@ -55,6 +55,7 @@ class SolveOptions:
     alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.05)
     scan_mode: str = "sequential"  # LFT prefix scan: "sequential" | "associative"
     terminal_mode: str = "factored"  # "factored" (exact) | "inverse" (reference parity)
+    use_pallas: bool = True  # fused Pallas prefix-scan kernel under batch vmap on TPU
     psd_levels: int = 2
     q_reg: float = 1e-9
     rho_reg: float = 1e-12
@@ -107,6 +108,24 @@ def _select_curve(system: System, prob: Problem, opts: SolveOptions, X, U, A, B)
             terminal = build_terminal_factors(prob, Xh, rho_reg=opts.rho_reg)
         else:
             terminal = build_terminal_blocks(prob, Xh, rho_reg=opts.rho_reg)
+        if (
+            opts.use_pallas
+            and opts.scan_mode == "sequential"
+            and opts.psd_levels == 1
+            and opts.terminal_mode == "factored"
+        ):
+            # custom_vmap path: under a problem-batch vmap on TPU the prefix
+            # scan runs through the fused Pallas lanes kernel
+            from timeopt_tpu.solver.horizon import (
+                lft_elements,
+                lft_prefix_scan_cv,
+                propagator_J_curve_factored,
+            )
+            from timeopt_tpu.solver.horizon import LFTElements
+
+            elems = lft_elements(blocks, psd_levels=1)
+            pre = LFTElements(*lft_prefix_scan_cv(elems.E, elems.F, elems.G))
+            return propagator_J_curve_factored(pre, terminal, psd_levels=1)
         return propagator_select(
             blocks, terminal,
             scan_mode=opts.scan_mode,
