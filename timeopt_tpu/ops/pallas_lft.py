@@ -1,24 +1,25 @@
-"""Fused Pallas TPU kernel for the batched LFT prefix scan.
+"""Fused Pallas TPU kernels for the batched propagator sweep.
 
-Why: under `vmap`, the prefix composition is a 160-step `lax.scan` whose body
-is ~50 small ops on (B, p, p) arrays with p ≈ 13. On TPU the minor two dims
-tile to (8/16 sublanes, 128 lanes), so every HBM round-trip moves ~10x the
-logical bytes (13 of 128 lanes used) — measured ~173 ms per scan at B=1024,
-~100x off the bandwidth bound. This kernel:
+Why: under `vmap`, the propagator select is dominated by chains of small ops
+on (B, p, p) arrays with p ≈ 13. On TPU the minor two dims tile to (8/16
+sublanes, 128 lanes), so every HBM round-trip moves ~10x the logical bytes
+(13 of 128 lanes used) — measured 173 ms for the 160-step prefix scan at
+B=1024, ~100x off the bandwidth bound. These kernels:
 
-- keeps the running prefix (E,F,G) in VMEM scratch across the whole scan
-  (zero intermediate HBM traffic),
-- lays the *batch* on the lane axis ((p, p, B_tile) blocks, B_tile = 128
+- lay the *batch* on the lane axis ((p, p, B_tile) blocks, B_tile = 128
   lanes fully dense),
-- runs matrix products and the pivot-free Gauss-Jordan inverse as unrolled
+- run matrix products and the pivot-free Gauss-Jordan inverse as unrolled
   broadcasted FMAs over (p, 2p, B_tile) values (pure VPU work),
-- streams per-step inputs/outputs through the automatic Pallas grid
-  pipeline: grid = (B_tiles, N), sequential N innermost, carry persisting
-  across grid steps (the canonical TPU sequential-scan pattern).
+- keep the running prefix (E,F,G) in VMEM scratch across the whole scan
+  (zero intermediate HBM traffic) and compute the per-step LFT elements
+  E = Q^-1, F = E A', G = A E A' + B R^-1 B' inline from the streamed
+  augmented blocks,
+- stream inputs/outputs through the automatic Pallas grid pipeline:
+  grid = (B_tiles, N), sequential N innermost, carry persisting across grid
+  steps (the canonical TPU sequential-scan pattern).
 
-The kernel is numerically identical to timeopt_tpu.solver.horizon's
-sequential scan (same compose, same jitter) — tested in interpret mode on
-CPU and against the XLA path on TPU.
+Numerics match timeopt_tpu.solver.horizon's XLA path (psd_levels=1) —
+tested in interpret mode on CPU and against the XLA path on TPU.
 """
 
 from __future__ import annotations
@@ -31,35 +32,43 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# =============================================================================
+# Lanes-layout building blocks (arrays are (rows, cols, lanes) values)
+# =============================================================================
+
+
 def _eye_lanes(p: int, b: int, dtype) -> jax.Array:
     rows = jax.lax.broadcasted_iota(jnp.int32, (p, p, b), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (p, p, b), 1)
     return (rows == cols).astype(dtype)
 
 
-def _mm(A, B, p):
-    """C[i,j,b] = sum_k A[i,k,b] B[k,j,b] — unrolled broadcasted FMAs."""
-    return sum(A[:, k : k + 1, :] * B[k : k + 1, :, :] for k in range(p))
+def _mm(A, B):
+    """C[i,j,b] = sum_k A[i,k,b] B[k,j,b]; shapes (a,k,b) x (k,c,b)."""
+    kdim = A.shape[1]
+    return sum(A[:, k : k + 1, :] * B[k : k + 1, :, :] for k in range(kdim))
 
 
-def _mm_at_b(A, B, p):
-    """C[i,j,b] = sum_k A[k,i,b] B[k,j,b] = (A^T B)."""
-    return sum(A[k : k + 1, :, :].swapaxes(0, 1) * B[k : k + 1, :, :] for k in range(p))
+def _mm_at_b(A, B):
+    """C[i,j,b] = sum_k A[k,i,b] B[k,j,b] = A^T B; shapes (k,a,b) x (k,c,b)."""
+    kdim = A.shape[0]
+    return sum(A[k : k + 1, :, :].swapaxes(0, 1) * B[k : k + 1, :, :] for k in range(kdim))
 
 
-def _mm_a_bt(A, B, p):
-    """C[i,j,b] = sum_k A[i,k,b] B[j,k,b] = (A B^T)."""
-    return sum(A[:, k : k + 1, :] * B[:, k : k + 1, :].swapaxes(0, 1) for k in range(p))
+def _mm_a_bt(A, B):
+    """C[i,j,b] = sum_k A[i,k,b] B[j,k,b] = A B^T; shapes (a,k,b) x (c,k,b)."""
+    kdim = A.shape[1]
+    return sum(A[:, k : k + 1, :] * B[:, k : k + 1, :].swapaxes(0, 1) for k in range(kdim))
 
 
 def _sym(A):
     return 0.5 * (A + A.swapaxes(0, 1))
 
 
-def _inv_lanes(A, p: int, jitter: float):
+def _inv_lanes(A, jitter: float):
     """Pivot-free Gauss-Jordan inverse of (p, p, b) + jitter*I, batched over
     lanes; row-list formulation (no dynamic-update-slice)."""
-    b = A.shape[-1]
+    p, _, b = A.shape
     eye = _eye_lanes(p, b, A.dtype)
     M = jnp.concatenate([A + jitter * eye, eye], axis=1)  # (p, 2p, b)
     rows = [M[i] for i in range(p)]  # each (2p, b)
@@ -75,11 +84,22 @@ def _inv_lanes(A, p: int, jitter: float):
     return jnp.stack([rows[i][p:] for i in range(p)], axis=0)  # (p, p, b)
 
 
-def _lft_scan_kernel(e_ref, f_ref, g_ref, eo_ref, fo_ref, go_ref, cE, cF, cG, *, p, jitter):
+def _elements(Ak, Qk, BRBk, jitter):
+    """LFT element from augmented blocks: E = Q^-1, F = E A', G = A E A' + BRB'."""
+    E = _inv_lanes(Qk, jitter)
+    F = _mm_a_bt(E, Ak)  # E A'
+    G = _sym(_mm(Ak, F) + BRBk)
+    return E, F, G
+
+
+# =============================================================================
+# Kernel 1: fused elements + prefix scan
+# =============================================================================
+
+
+def _lft_scan_kernel(a_ref, q_ref, brb_ref, eo_ref, fo_ref, go_ref, cE, cF, cG, *, jitter):
     k = pl.program_id(1)
-    Ek = e_ref[0]
-    Fk = f_ref[0]
-    Gk = g_ref[0]
+    Ek, Fk, Gk = _elements(a_ref[0], q_ref[0], brb_ref[0], jitter)
 
     @pl.when(k == 0)
     def _():
@@ -90,13 +110,13 @@ def _lft_scan_kernel(e_ref, f_ref, g_ref, eo_ref, fo_ref, go_ref, cE, cF, cG, *,
     @pl.when(k > 0)
     def _():
         # compose(prefix, elem_k): W = (E_k + G_prefix)^-1
-        W = _inv_lanes(Ek + cG[:], p, jitter)
+        W = _inv_lanes(Ek + cG[:], jitter)
         F1 = cF[:]
-        F1W = _mm(F1, W, p)
-        Enew = _sym(cE[:] - _mm_a_bt(F1W, F1, p))
-        Fnew = _mm(F1W, Fk, p)
-        WFk = _mm(W, Fk, p)
-        Gnew = _sym(Gk - _mm_at_b(Fk, WFk, p))
+        F1W = _mm(F1, W)
+        Enew = _sym(cE[:] - _mm_a_bt(F1W, F1))
+        Fnew = _mm(F1W, Fk)
+        WFk = _mm(W, Fk)
+        Gnew = _sym(Gk - _mm_at_b(Fk, WFk))
         cE[:] = Enew
         cF[:] = Fnew
         cG[:] = Gnew
@@ -106,31 +126,30 @@ def _lft_scan_kernel(e_ref, f_ref, g_ref, eo_ref, fo_ref, go_ref, cE, cF, cG, *,
     go_ref[0] = cG[:]
 
 
-def lft_prefix_scan_lanes(
-    E: jax.Array,
-    F: jax.Array,
-    G: jax.Array,
+def lft_scan_lanes(
+    A_aug: jax.Array,
+    Q_aug: jax.Array,
+    BRB: jax.Array,
     *,
     jitter: float = 1e-9,
     block_b: int = 128,
     interpret: bool = False,
 ):
-    """All LFT prefix compositions, batched over lanes.
+    """Fused LFT elements + prefix scan, batched over lanes.
 
-    E, F, G: (N, p, p, B) with B a multiple of block_b. Returns prefixes of
-    the same shape. Equivalent to vmapping
-    timeopt_tpu.solver.horizon.lft_prefix_scan(mode="sequential") over the
-    trailing batch axis (with psd_levels=1).
+    A_aug, Q_aug, BRB (= B_aug R^-1 B_aug'): (N, p, p, B), B % block_b == 0.
+    Returns prefix (E, F, G) of the same shape. Equivalent to
+    lft_prefix_scan(lft_elements(...), mode="sequential") with psd_levels=1.
     """
-    N, p, _, B = E.shape
+    N, p, _, B = A_aug.shape
     assert B % block_b == 0, (B, block_b)
     grid = (B // block_b, N)
 
     spec = pl.BlockSpec(
         (1, p, p, block_b), lambda i, k: (k, 0, 0, i), memory_space=pltpu.VMEM
     )
-    kernel = functools.partial(_lft_scan_kernel, p=p, jitter=jitter)
-    out_shape = jax.ShapeDtypeStruct(E.shape, E.dtype)
+    kernel = functools.partial(_lft_scan_kernel, jitter=jitter)
+    out_shape = jax.ShapeDtypeStruct(A_aug.shape, A_aug.dtype)
 
     return pl.pallas_call(
         kernel,
@@ -139,9 +158,107 @@ def lft_prefix_scan_lanes(
         out_specs=(spec, spec, spec),
         out_shape=(out_shape, out_shape, out_shape),
         scratch_shapes=[
-            pltpu.VMEM((p, p, block_b), E.dtype),
-            pltpu.VMEM((p, p, block_b), E.dtype),
-            pltpu.VMEM((p, p, block_b), E.dtype),
+            pltpu.VMEM((p, p, block_b), A_aug.dtype),
+            pltpu.VMEM((p, p, block_b), A_aug.dtype),
+            pltpu.VMEM((p, p, block_b), A_aug.dtype),
         ],
         interpret=interpret,
-    )(E, F, G)
+    )(A_aug, Q_aug, BRB)
+
+
+# =============================================================================
+# Kernel 2: factored terminal queries
+# =============================================================================
+
+
+def _query_kernel(e_ref, f_ref, g_ref, c_ref, j_ref, *, jitter):
+    E = e_ref[0]  # (p, p, bt)
+    F = f_ref[0]
+    G = g_ref[0]
+    C = c_ref[0]  # (n, p, bt)
+    n = C.shape[0]
+    p = E.shape[0]
+    b = E.shape[-1]
+
+    # S = I_n + C G C'
+    CG = _mm(C, G)  # (n, p, bt)
+    S = _eye_lanes(n, b, E.dtype) + _mm_a_bt(CG, C)
+    Sinv = _inv_lanes(S, 0.0)
+    FCt = _mm_a_bt(F, C)  # (p, n, bt)
+    Z = _mm(FCt, Sinv)  # (p, n, bt)
+    X0 = _sym(E - _mm_a_bt(Z, FCt))
+    X0inv = _inv_lanes(X0, jitter)
+    j_ref[0, :] = 0.5 * X0inv[p - 1, p - 1, :]
+
+
+def lft_query_lanes(
+    E: jax.Array,
+    F: jax.Array,
+    G: jax.Array,
+    C: jax.Array,
+    *,
+    jitter: float = 1e-9,
+    block_b: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Factored terminal queries, batched over lanes.
+
+    E, F, G: (N, p, p, B) prefixes; C: (N, n, p, B) terminal factors.
+    Returns J: (N, B). Equivalent to propagator_J_curve_factored with
+    psd_levels=1 (one n-dim SPD solve + one p-dim solve per query)."""
+    N, p, _, B = E.shape
+    n = C.shape[1]
+    assert B % block_b == 0, (B, block_b)
+    grid = (B // block_b, N)
+
+    mat = pl.BlockSpec(
+        (1, p, p, block_b), lambda i, t: (t, 0, 0, i), memory_space=pltpu.VMEM
+    )
+    cspec = pl.BlockSpec(
+        (1, n, p, block_b), lambda i, t: (t, 0, 0, i), memory_space=pltpu.VMEM
+    )
+    jspec = pl.BlockSpec((1, block_b), lambda i, t: (t, i), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_query_kernel, jitter=jitter)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[mat, mat, mat, cspec],
+        out_specs=jspec,
+        out_shape=jax.ShapeDtypeStruct((N, B), E.dtype),
+        interpret=interpret,
+    )(E, F, G, C)
+
+
+# =============================================================================
+# Full select in lanes layout
+# =============================================================================
+
+
+def propagator_select_lanes(
+    A_aug: jax.Array,
+    B_aug: jax.Array,
+    Q_aug: jax.Array,
+    R_inv: jax.Array,
+    C: jax.Array,
+    *,
+    jitter: float = 1e-9,
+    block_b: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Whole propagator selection on a problem batch, batch-leading layout.
+
+    A_aug, B_aug, Q_aug: (B, N, p, p) / (B, N, p, m); R_inv: (B, m, m);
+    C: (B, N, n, p). Returns J: (B, N). Transposes to lanes layout once at
+    the boundary, runs the two fused kernels, transposes the (tiny) J back.
+    """
+    BRB = jnp.einsum("bnim,bmo,bnjo->bnij", B_aug, R_inv, B_aug)
+    At, Qt, BRBt = (jnp.transpose(x, (1, 2, 3, 0)) for x in (A_aug, Q_aug, BRB))
+    Ct = jnp.transpose(C, (1, 2, 3, 0))
+    E, F, G = lft_scan_lanes(
+        At, Qt, BRBt, jitter=jitter, block_b=block_b, interpret=interpret
+    )
+    J = lft_query_lanes(
+        E, F, G, Ct, jitter=jitter, block_b=block_b, interpret=interpret
+    )
+    return jnp.transpose(J, (1, 0))

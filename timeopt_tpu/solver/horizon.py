@@ -265,46 +265,41 @@ def bruteforce_J_curve(
 # =============================================================================
 
 
-def _pallas_scan_applicable(E: jax.Array) -> bool:
-    """Pallas lanes kernel: TPU backend, f32, batch a multiple of 128."""
+def _pallas_applicable(x: jax.Array) -> bool:
+    """Pallas lanes kernels: TPU backend, f32, batch a multiple of 128."""
     try:
         backend_ok = jax.devices()[0].platform == "tpu"
     except Exception:
         backend_ok = False
-    return (
-        backend_ok
-        and E.dtype == jnp.float32
-        and E.ndim == 4
-        and E.shape[0] % 128 == 0
-    )
+    return backend_ok and x.dtype == jnp.float32 and x.shape[0] % 128 == 0
 
 
 @jax.custom_batching.custom_vmap
-def lft_prefix_scan_cv(E: jax.Array, F: jax.Array, G: jax.Array):
-    """Sequential LFT prefix scan (psd_levels=1) with a custom batching rule:
-    when vmapped over a problem batch on TPU, the whole batch runs through
-    the fused Pallas lanes kernel (timeopt_tpu.ops.pallas_lft) instead of a
-    batch of per-problem XLA scans — identical math, ~10x less HBM traffic.
+def propagator_select_cv(A_aug, B_aug, Q_aug, R_inv, C):
+    """Propagator selection (sequential scan, factored terminal,
+    psd_levels=1) with a custom batching rule: when vmapped over a problem
+    batch on TPU, the whole batch runs through the fused Pallas lanes
+    kernels (timeopt_tpu.ops.pallas_lft) — elements computed inline in the
+    scan, batch on the lane axis, prefix carried in VMEM — instead of a
+    batch of per-problem XLA scans. Identical math, ~10x less HBM traffic.
 
-    Unbatched signature: E, F, G are (N, p, p); returns prefix (E, F, G).
+    Unbatched: A_aug/Q_aug (N, p, p), B_aug (N, p, m), R_inv (m, m),
+    C (N, n, p); returns J (N,).
     """
-    out = lft_prefix_scan(LFTElements(E, F, G), mode="sequential", psd_levels=1)
-    return out.E, out.F, out.G
+    blocks = AugmentedBlocks(A_aug=A_aug, B_aug=B_aug, Q_aug=Q_aug, R_inv=R_inv)
+    elems = lft_elements(blocks, psd_levels=1)
+    pre = lft_prefix_scan(elems, mode="sequential", psd_levels=1)
+    return propagator_J_curve_factored(pre, C, psd_levels=1)
 
 
-@lft_prefix_scan_cv.def_vmap
-def _lft_prefix_scan_vmap_rule(axis_size, in_batched, E, F, G):
+@propagator_select_cv.def_vmap
+def _propagator_select_vmap_rule(axis_size, in_batched, A_aug, B_aug, Q_aug, R_inv, C):
     del axis_size
-    assert all(in_batched), "prefix-scan batching rule expects all-batched args"
-    # E, F, G: (B, N, p, p), batch axis 0
-    if _pallas_scan_applicable(E):
-        from timeopt_tpu.ops.pallas_lft import lft_prefix_scan_lanes
+    assert all(in_batched), "select batching rule expects all-batched args"
+    if _pallas_applicable(A_aug):
+        from timeopt_tpu.ops.pallas_lft import propagator_select_lanes
 
-        Et, Ft, Gt = (jnp.transpose(x, (1, 2, 3, 0)) for x in (E, F, G))
-        Eo, Fo, Go = lft_prefix_scan_lanes(Et, Ft, Gt)
-        outs = tuple(jnp.transpose(x, (3, 0, 1, 2)) for x in (Eo, Fo, Go))
+        J = propagator_select_lanes(A_aug, B_aug, Q_aug, R_inv, C)
     else:
-        outs = jax.vmap(
-            lambda e, f, g: lft_prefix_scan_cv(e, f, g)
-        )(E, F, G)
-    return outs, (True, True, True)
+        J = jax.vmap(propagator_select_cv)(A_aug, B_aug, Q_aug, R_inv, C)
+    return J, True

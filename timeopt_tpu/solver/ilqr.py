@@ -114,18 +114,13 @@ def _select_curve(system: System, prob: Problem, opts: SolveOptions, X, U, A, B)
             and opts.psd_levels == 1
             and opts.terminal_mode == "factored"
         ):
-            # custom_vmap path: under a problem-batch vmap on TPU the prefix
-            # scan runs through the fused Pallas lanes kernel
-            from timeopt_tpu.solver.horizon import (
-                lft_elements,
-                lft_prefix_scan_cv,
-                propagator_J_curve_factored,
-            )
-            from timeopt_tpu.solver.horizon import LFTElements
+            # custom_vmap path: under a problem-batch vmap on TPU the whole
+            # selection runs through the fused Pallas lanes kernels
+            from timeopt_tpu.solver.horizon import propagator_select_cv
 
-            elems = lft_elements(blocks, psd_levels=1)
-            pre = LFTElements(*lft_prefix_scan_cv(elems.E, elems.F, elems.G))
-            return propagator_J_curve_factored(pre, terminal, psd_levels=1)
+            return propagator_select_cv(
+                blocks.A_aug, blocks.B_aug, blocks.Q_aug, blocks.R_inv, terminal
+            )
         return propagator_select(
             blocks, terminal,
             scan_mode=opts.scan_mode,
