@@ -2,13 +2,17 @@
 
 Reference headline to beat: a single quadrotor HOP-DDP solve in 2.9 s on CPU
 (/root/reference/README.md:26; BASELINE.md). This benchmark runs the full
-solver (AD linearize -> LFT propagator sweep -> truncated backward -> line
-search, max_iter=12 as in the reference suite) on a batch of perturbed
-quadrotor problems (the reference's trial distribution,
+solver (AD linearize -> fused Pallas LFT propagator sweep -> truncated
+backward -> line search, max_iter=12 as in the reference suite) on a batch
+of perturbed quadrotor problems (the reference's trial distribution,
 /root/reference/run_suite.py:72) in fp32 and reports solves/s.
 
 vs_baseline = measured solves/s divided by the reference's 1/2.9 solves/s
 (i.e. the per-solve speedup over the reference single solve).
+
+Timing note: completion is forced by transferring a scalar checksum to host
+(on remote-tunnel TPU backends `block_until_ready` is not a reliable
+barrier); only O(B) scalars ever cross the device boundary.
 
 Prints exactly ONE JSON line on stdout.
 """
@@ -34,7 +38,13 @@ def main():
     import jax.numpy as jnp
 
     from timeopt_tpu.models import get_system
-    from timeopt_tpu.solver.ilqr import SolveOptions, solve_batch, stack_problems
+    from timeopt_tpu.ops.wrap import wrap_error
+    from timeopt_tpu.solver.ilqr import (
+        SolveOptions,
+        _solve_traced,
+        broadcast_problem,
+        default_U_init,
+    )
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}, batch={BATCH}")
@@ -45,36 +55,44 @@ def main():
     rng = np.random.default_rng(0)
     x0s = np.tile(np.asarray(base.x0, np.float32), (BATCH, 1))
     x0s[:, :3] += 0.4 * rng.standard_normal((BATCH, 3)).astype(np.float32)
-    probs = stack_problems([base] * BATCH).replace(x0=jnp.asarray(x0s))
+    probs = broadcast_problem(base, BATCH).replace(x0=jnp.asarray(x0s))
 
     opts = SolveOptions(method="propagator", max_iter=MAX_ITER, psd_levels=1)
 
+    @jax.jit
+    def bench_fn(probs):
+        def one(p):
+            res = _solve_traced(system, opts, p, default_U_init(p))
+            eT = wrap_error(res.X[res.T_star] - p.xg, p.wrap_mask)
+            err = jnp.sqrt(jnp.sum(jnp.square(eT)))
+            return res.J_star, res.T_star, err
+
+        J, T, err = jax.vmap(one)(probs)
+        checksum = jnp.sum(jnp.where(jnp.isfinite(J), J, 0.0)) + jnp.sum(T) + jnp.sum(
+            jnp.where(jnp.isfinite(err), err, 0.0)
+        )
+        return J, T, err, checksum
+
     t0 = time.perf_counter()
-    res = solve_batch(system, probs, options=opts)
-    jax.block_until_ready(res)
+    J, T, err, checksum = bench_fn(probs)
+    float(checksum)  # forces execution to completion
     t_first = time.perf_counter() - t0
     log(f"first call (compile+run): {t_first:.1f}s")
 
-    # throughput timing
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        res = solve_batch(system, probs, options=opts)
-        jax.block_until_ready(res)
+        out = bench_fn(probs)
+        float(out[3])
         times.append(time.perf_counter() - t0)
     t_batch = min(times)
     solves_per_s = BATCH / t_batch
 
-    # sanity: finite costs, in-range horizons, success rate at the suite tol
-    J = np.asarray(res.J_star)
-    T = np.asarray(res.T_star)
-    X = np.asarray(res.X)
-    xg = np.asarray(base.xg)
-    errs = np.array(
-        [np.linalg.norm(X[i, T[i]] - xg) for i in range(BATCH)]
-    )
+    J = np.asarray(out[0])
+    T = np.asarray(out[1])
+    err = np.asarray(out[2])
     finite = np.isfinite(J)
-    success = finite & (errs <= 0.5)
+    success = finite & np.isfinite(err) & (err <= 0.5)
     log(
         f"batch time: {t_batch*1e3:.1f} ms  solves/s: {solves_per_s:.0f}  "
         f"finite: {finite.mean():.3f}  success@0.5: {success.mean():.3f}  "

@@ -18,7 +18,7 @@ from timeopt_tpu.solver.horizon import (
     lft_prefix_scan,
     propagator_J_curve_factored,
 )
-from timeopt_tpu.solver.ilqr import default_U_init, stack_problems
+from timeopt_tpu.solver.ilqr import broadcast_problem, default_U_init
 from timeopt_tpu.solver.linearize import linearize
 
 B = int(__import__("os").environ.get("PB", "1024"))
@@ -44,7 +44,7 @@ def main():
     rng = np.random.default_rng(0)
     x0s = np.tile(np.asarray(base.x0, np.float32), (B, 1))
     x0s[:, :3] += 0.4 * rng.standard_normal((B, 3)).astype(np.float32)
-    probs = stack_problems([base] * B).replace(x0=jnp.asarray(x0s))
+    probs = broadcast_problem(base, B).replace(x0=jnp.asarray(x0s))
     print(f"B={B}", flush=True)
 
     U = jax.vmap(default_U_init)(probs) if False else jnp.broadcast_to(
@@ -71,9 +71,9 @@ def main():
     blocks = jax.jit(vblocks)(probs, X, U, A, Bm)
     timed("build_augmented", vblocks, probs, X, U, A, Bm)
 
-    vterm = jax.vmap(lambda p, x: build_terminal_factors(p, x[: Tm + 1]))
-    C = jax.jit(vterm)(probs, X)
-    timed("terminal_factors", vterm, probs, X)
+    vterm = jax.vmap(lambda p, x, s: build_terminal_factors(p, x[: Tm + 1], s=s))
+    C = jax.jit(vterm)(probs, X, blocks.s)
+    timed("terminal_factors", vterm, probs, X, blocks.s)
 
     velems = jax.vmap(lambda b: lft_elements(b, psd_levels=1))
     elems = jax.jit(velems)(blocks)

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from timeopt_tpu.models import get_system
-from timeopt_tpu.solver.ilqr import SolveOptions, solve_batch, stack_problems
+from timeopt_tpu.solver.ilqr import SolveOptions, broadcast_problem, solve_batch
 
 
 def make_batch(B, dtype, sigma=0.4, seed=0):
@@ -24,7 +24,7 @@ def make_batch(B, dtype, sigma=0.4, seed=0):
     rng = np.random.default_rng(seed)
     x0s = np.tile(np.asarray(base.x0, np.float64), (B, 1))
     x0s[:, :3] += sigma * rng.standard_normal((B, 3))
-    probs = stack_problems([base] * B).replace(x0=jnp.asarray(x0s, dtype))
+    probs = broadcast_problem(base, B).replace(x0=jnp.asarray(x0s, dtype))
     return system, probs
 
 

@@ -36,7 +36,7 @@ def _batched_blocks(rng, B=8, n=3, m=2, N=6, dtype=np.float32):
             prob,
         )
         blocks = build_augmented(system, prob32, Xj, Uj, A, Bm, psd_levels=1)
-        C = build_terminal_factors(prob32, Xj)
+        C = build_terminal_factors(prob32, Xj, s=blocks.s)
         systems_blocks.append((blocks, C))
     stack = lambda xs: jnp.stack(xs, 0)
     A_aug = stack([b.A_aug for b, _ in systems_blocks])

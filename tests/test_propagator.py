@@ -53,8 +53,10 @@ def _oracle(prob, A, B, X, U):
 def test_factored_propagator_matches_riccati_oracle(rng):
     system, prob, A, B, Xj, Uj, Ad, Bd, X, U = _setup(rng)
     blocks = build_augmented(system, prob, Xj, Uj, A, B)
-    C = build_terminal_factors(prob, Xj)
-    J = np.asarray(propagator_select(blocks, C, terminal_mode="factored"))
+    C = build_terminal_factors(prob, Xj, s=blocks.s)
+    J = float(blocks.s[0] ** 2) * np.asarray(
+        propagator_select(blocks, C, terminal_mode="factored")
+    )
     J_oracle = _oracle(prob, A, B, X, U)
     np.testing.assert_allclose(J, J_oracle, rtol=1e-6, atol=1e-9)
 
@@ -65,8 +67,10 @@ def test_inverse_propagator_matches_at_reference_consistency(rng):
     reference itself reports (consistency_max_abs ~ 4e-4)."""
     system, prob, A, B, Xj, Uj, Ad, Bd, X, U = _setup(rng, seed_offset=3)
     blocks = build_augmented(system, prob, Xj, Uj, A, B)
-    QT = build_terminal_blocks(prob, Xj)
-    J = np.asarray(propagator_select(blocks, QT, terminal_mode="inverse"))
+    QT = build_terminal_blocks(prob, Xj, s=blocks.s)
+    J = float(blocks.s[0] ** 2) * np.asarray(
+        propagator_select(blocks, QT, terminal_mode="inverse")
+    )
     J_oracle = _oracle(prob, A, B, X, U)
     np.testing.assert_allclose(J, J_oracle, rtol=1e-3, atol=1e-3)
 
@@ -74,8 +78,8 @@ def test_inverse_propagator_matches_at_reference_consistency(rng):
 def test_propagator_matches_bruteforce(rng):
     system, prob, A, B, Xj, Uj, *_ = _setup(rng, seed_offset=1)
     blocks = build_augmented(system, prob, Xj, Uj, A, B)
-    C = build_terminal_factors(prob, Xj)
-    J_prop = np.asarray(propagator_select(blocks, C))
+    C = build_terminal_factors(prob, Xj, s=blocks.s)
+    J_prop = float(blocks.s[0] ** 2) * np.asarray(propagator_select(blocks, C))
     J_bf = np.asarray(bruteforce_J_curve(system, prob, A, B, Xj, Uj, lm_lambda=0.0))
     np.testing.assert_allclose(J_prop, J_bf, rtol=1e-6, atol=1e-9)
 
@@ -88,7 +92,7 @@ def test_associative_scan_matches_sequential(rng):
     assoc = lft_prefix_scan(elems, mode="associative")
     for s, a in zip(seq, assoc):
         np.testing.assert_allclose(np.asarray(s), np.asarray(a), rtol=1e-9, atol=1e-10)
-    C = build_terminal_factors(prob, Xj)
+    C = build_terminal_factors(prob, Xj, s=blocks.s)
     np.testing.assert_allclose(
         np.asarray(propagator_J_curve_factored(seq, C)),
         np.asarray(propagator_J_curve_factored(assoc, C)),

@@ -79,7 +79,7 @@ def test_propagator_select_sharded_matches_local():
     A, B = linearize(system.step, X, U, "ad")
     Tm = prob.T_max
     blocks = build_augmented(system, prob, X[: Tm + 1], U[:Tm], A[:Tm], B[:Tm])
-    C = build_terminal_factors(prob, X[: Tm + 1])
+    C = build_terminal_factors(prob, X[: Tm + 1], s=blocks.s)
 
     mesh = make_mesh(8, axis_names=("hs",))
     J_sharded = np.asarray(propagator_select_sharded(blocks, C, mesh, hs_axis="hs"))

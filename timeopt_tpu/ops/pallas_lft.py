@@ -188,7 +188,7 @@ def _query_kernel(e_ref, f_ref, g_ref, c_ref, j_ref, *, jitter):
     Z = _mm(FCt, Sinv)  # (p, n, bt)
     X0 = _sym(E - _mm_a_bt(Z, FCt))
     X0inv = _inv_lanes(X0, jitter)
-    j_ref[0, :] = 0.5 * X0inv[p - 1, p - 1, :]
+    j_ref[0, 0, :] = 0.5 * X0inv[p - 1, p - 1, :]
 
 
 def lft_query_lanes(
@@ -217,17 +217,20 @@ def lft_query_lanes(
     cspec = pl.BlockSpec(
         (1, n, p, block_b), lambda i, t: (t, 0, 0, i), memory_space=pltpu.VMEM
     )
-    jspec = pl.BlockSpec((1, block_b), lambda i, t: (t, i), memory_space=pltpu.VMEM)
+    # J is emitted as (N, 1, B) so the minor-two block dims satisfy the
+    # Mosaic (sublane, lane) tiling constraint; squeezed on return.
+    jspec = pl.BlockSpec((1, 1, block_b), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_query_kernel, jitter=jitter)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[mat, mat, mat, cspec],
         out_specs=jspec,
-        out_shape=jax.ShapeDtypeStruct((N, B), E.dtype),
+        out_shape=jax.ShapeDtypeStruct((N, 1, B), E.dtype),
         interpret=interpret,
     )(E, F, G, C)
+    return out[:, 0, :]
 
 
 # =============================================================================
@@ -262,3 +265,119 @@ def propagator_select_lanes(
         E, F, G, Ct, jitter=jitter, block_b=block_b, interpret=interpret
     )
     return jnp.transpose(J, (1, 0))
+
+
+# =============================================================================
+# Kernel 3 (default): fully-fused double-single select
+# elements + compose + terminal query per step, J-only output
+# =============================================================================
+
+
+def _df_select_kernel(a_ref, q_ref, brb_ref, c_ref, j_ref, cEh, cEl, cFh, cFl, cGh, cGl, *, jitter):
+    """Per grid step (i, k): build the LFT element for step k from the
+    streamed augmented blocks, compose it onto the VMEM-resident prefix, and
+    immediately evaluate the factored terminal query for horizon T = k+1 —
+    all in double-single (df32) arithmetic (fp32 alone corrupts the J(T)
+    argmin; see timeopt_tpu/ops/df32.py)."""
+    from timeopt_tpu.ops import df32 as dfm
+
+    k = pl.program_id(1)
+    Ak = a_ref[0]
+    Qk = q_ref[0]
+    BRBk = brb_ref[0]
+    Ck = c_ref[0]  # (n, p, bt), terminal factor for T = k+1
+    p = Ak.shape[0]
+    n = Ck.shape[0]
+    b = Ak.shape[-1]
+    eye_p = _eye_lanes(p, b, Ak.dtype)
+    eye_n = _eye_lanes(n, b, Ak.dtype)
+
+    # LFT element for step k (df32)
+    E = dfm.df_gj_inv(dfm.df_mat(Qk), jitter, eye_p)
+    F = dfm.df_matmul_nt(E, dfm.df_mat(Ak))  # E A'
+    G = dfm.df_sym_half(dfm.df_add(dfm.df_matmul(dfm.df_mat(Ak), F), dfm.df_mat(BRBk)))
+
+    # Compose unconditionally on the (garbage-at-k==0) carry and select the
+    # raw element where k == 0. Branchless on purpose: a predicated write to
+    # scratch followed by a read in the same grid step proved unreliable
+    # (the later query read a stale carry), and the wasted compose at k == 0
+    # is one step in N.
+    is0 = k == 0
+    cE = (cEh[:], cEl[:])
+    cF = (cFh[:], cFl[:])
+    cG = (cGh[:], cGl[:])
+    W = dfm.df_gj_inv(dfm.df_add(E, cG), jitter, eye_p)
+    F1W = dfm.df_matmul(cF, W)
+    Ec = dfm.df_sym_half(dfm.df_sub(cE, dfm.df_matmul_nt(F1W, cF)))
+    Fc = dfm.df_matmul(F1W, F)
+    WF = dfm.df_matmul(W, F)
+    Gc = dfm.df_sym_half(dfm.df_sub(G, dfm.df_matmul_tn(F, WF)))
+
+    def sel(a, b):
+        return (jnp.where(is0, a[0], b[0]), jnp.where(is0, a[1], b[1]))
+
+    Ep = sel(E, Ec)
+    Fp = sel(F, Fc)
+    Gp = sel(G, Gc)
+    cEh[:], cEl[:] = Ep
+    cFh[:], cFl[:] = Fp
+    cGh[:], cGl[:] = Gp
+    Cdf = dfm.df_mat(Ck)
+    CG = dfm.df_matmul(Cdf, Gp)  # (n, p)
+    S = dfm.df_add(dfm.df_mat(eye_n), dfm.df_matmul_nt(CG, Cdf))
+    Sinv = dfm.df_gj_inv(S, 0.0, eye_n)
+    FCt = dfm.df_matmul_nt(Fp, Cdf)  # (p, n)
+    Z = dfm.df_matmul(FCt, Sinv)
+    X0 = dfm.df_sym_half(dfm.df_sub(Ep, dfm.df_matmul_nt(Z, FCt)))
+    X0inv = dfm.df_gj_inv(X0, jitter, eye_p)
+    j_ref[0, 0, :] = 0.5 * (X0inv[0][p - 1, p - 1, :] + X0inv[1][p - 1, p - 1, :])
+
+
+def propagator_select_lanes_df(
+    A_aug: jax.Array,
+    B_aug: jax.Array,
+    Q_aug: jax.Array,
+    R_inv: jax.Array,
+    C: jax.Array,
+    *,
+    jitter: float = 1e-9,
+    block_b: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Whole propagator selection on a problem batch in double-single
+    precision — the default TPU path (f64-quality J(T) from fp32 inputs and
+    fp32 hardware; input rounding to fp32 is measured harmless while fp32
+    arithmetic is not).
+
+    A_aug, Q_aug: (B, N, p, p); B_aug: (B, N, p, m); R_inv: (B, m, m);
+    C: (B, N, n, p). Returns J: (B, N).
+    """
+    BRB = jnp.einsum("bnim,bmo,bnjo->bnij", B_aug, R_inv, B_aug)
+    At, Qt, BRBt = (jnp.transpose(x, (1, 2, 3, 0)) for x in (A_aug, Q_aug, BRB))
+    Ct = jnp.transpose(C, (1, 2, 3, 0))
+
+    N, p, _, B = At.shape
+    n = Ct.shape[1]
+    assert B % block_b == 0, (B, block_b)
+    grid = (B // block_b, N)
+
+    mat = pl.BlockSpec(
+        (1, p, p, block_b), lambda i, k: (k, 0, 0, i), memory_space=pltpu.VMEM
+    )
+    cspec = pl.BlockSpec(
+        (1, n, p, block_b), lambda i, k: (k, 0, 0, i), memory_space=pltpu.VMEM
+    )
+    jspec = pl.BlockSpec((1, 1, block_b), lambda i, k: (k, 0, i), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_df_select_kernel, jitter=jitter)
+    scratch = [pltpu.VMEM((p, p, block_b), At.dtype) for _ in range(6)]
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[mat, mat, mat, cspec],
+        out_specs=jspec,
+        out_shape=jax.ShapeDtypeStruct((N, 1, B), At.dtype),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(At, Qt, BRBt, Ct)
+    return jnp.transpose(out[:, 0, :], (1, 0))

@@ -27,6 +27,30 @@ class AugmentedBlocks(NamedTuple):
     B_aug: jax.Array  # (N, n+1, m)
     Q_aug: jax.Array  # (N, n+1, n+1)
     R_inv: jax.Array  # (m, m)
+    s: jax.Array = None  # (N+1,) homogeneous-coordinate scaling (None = 1)
+
+
+def homogeneous_scales(prob: Problem, X: jax.Array) -> jax.Array:
+    """Per-step similarity scaling s_k of the homogeneous coordinate.
+
+    The raw augmented blocks are badly *graded*: the corner entry
+    e'Qe + 2w spans ~1e-2..1e2 against O(1)..O(10) state blocks, and the
+    time-penalty information (2w) sits several decimal digits below the
+    quadratic term. In fp64 this costs a few digits (the reference runs
+    fp64 and never notices); in fp32 it destroys the J(T) argmin entirely
+    (measured: 0% T* agreement with fp64 on the quadrotor).
+
+    Scaling z_k = [dx; 1] -> [dx; s_k] with s_k^2 = (e_k'Q e_k + 2w) / qbar
+    balances every block (the corner becomes exactly qbar = tr(Q)/n, and by
+    Cauchy-Schwarz the off-diagonal row lands between the two) while leaving
+    J(T) mathematically unchanged up to the known factor s_0^2. With this
+    scaling the fp32 propagator recovers the fp64 horizon selection.
+    """
+    e = wrap_error(X - prob.xg, prob.wrap_mask)  # (N+1, n)
+    quad = jnp.einsum("ki,kj,ij->k", e, e, prob.Q)
+    qbar = jnp.trace(prob.Q) / prob.n + jnp.asarray(1e-12, X.dtype)
+    corner = quad + 2.0 * prob.w
+    return jnp.sqrt(jnp.maximum(corner / qbar, 1e-12))
 
 
 def build_augmented(
@@ -40,6 +64,7 @@ def build_augmented(
     q_reg: float = 1e-9,
     rho_reg: float = 1e-12,
     psd_levels: int = 2,
+    scale: bool = True,
 ) -> AugmentedBlocks:
     N, n, m = U.shape[0], prob.n, prob.m
     dtype = X.dtype
@@ -81,10 +106,28 @@ def build_augmented(
     B_aug = B_aug.at[:, :n, :].set(B)
 
     R_inv = psd_inv(prob.R, levels=psd_levels)
-    return AugmentedBlocks(A_aug=A_aug, B_aug=B_aug, Q_aug=Q_aug, R_inv=R_inv)
+
+    if not scale:
+        s = jnp.ones((N + 1,), dtype=dtype)
+        return AugmentedBlocks(A_aug=A_aug, B_aug=B_aug, Q_aug=Q_aug, R_inv=R_inv, s=s)
+
+    # homogeneous similarity scaling (see homogeneous_scales):
+    #   Q~_k = D_k^-1 Q_aug D_k^-1,  A~_k = D_{k+1} A_aug D_k^-1,
+    #   B~_k = D_{k+1} B_aug = B_aug (last row is zero)
+    # with D_k = diag(1..1, s_k). J(T) picks up the factor s_0^2.
+    s = homogeneous_scales(prob, X)  # (N+1,)
+    inv_s = 1.0 / s
+    ones_n = jnp.ones((N, n), dtype=dtype)
+    d_col = jnp.concatenate([ones_n, inv_s[:N, None]], axis=1)  # (N, p): D_k^-1
+    d_row = jnp.concatenate([ones_n, s[1:, None]], axis=1)  # (N, p): D_{k+1}
+    Q_aug = Q_aug * d_col[:, :, None] * d_col[:, None, :]
+    A_aug = A_aug * d_row[:, :, None] * d_col[:, None, :]
+    return AugmentedBlocks(A_aug=A_aug, B_aug=B_aug, Q_aug=Q_aug, R_inv=R_inv, s=s)
 
 
-def build_terminal_factors(prob: Problem, X: jax.Array, *, rho_reg: float = 1e-12) -> jax.Array:
+def build_terminal_factors(
+    prob: Problem, X: jax.Array, *, rho_reg: float = 1e-12, s: jax.Array = None
+) -> jax.Array:
     """Factored terminal data for the exact (inverse-free) propagator query.
 
     The homogeneous terminal block QT_t = [I e_t]' P [I e_t] is rank-n —
@@ -103,10 +146,15 @@ def build_terminal_factors(prob: Problem, X: jax.Array, *, rho_reg: float = 1e-1
     Le = e @ Lt.T  # (N, n) = L' e_t
     N = e.shape[0]
     C = jnp.concatenate([jnp.broadcast_to(Lt, (N, n, n)), Le[..., None]], axis=-1)
+    if s is not None:
+        # homogeneous scaling: C~_t = C_t D_t^-1 (last column / s_t)
+        C = C.at[:, :, n].multiply(1.0 / s[1:, None])
     return C  # (N, n, n+1)
 
 
-def build_terminal_blocks(prob: Problem, X: jax.Array, *, rho_reg: float = 1e-12) -> jax.Array:
+def build_terminal_blocks(
+    prob: Problem, X: jax.Array, *, rho_reg: float = 1e-12, s: jax.Array = None
+) -> jax.Array:
     """Terminal (n+1)^2 block per candidate arrival step t = 1..N.
 
     QT[t-1] = [[P, P e_t], [e_t' P, e_t' P e_t + rho]] with P = Qf
@@ -125,4 +173,8 @@ def build_terminal_blocks(prob: Problem, X: jax.Array, *, rho_reg: float = 1e-12
     QT = QT.at[:, :n, n].set(px)
     QT = QT.at[:, n, :n].set(px)
     QT = QT.at[:, n, n].set(p0 + rho_reg)
+    if s is not None:
+        inv_s = 1.0 / s[1:]
+        d = jnp.concatenate([jnp.ones((N, n), dtype=dtype), inv_s[:, None]], axis=1)
+        QT = QT * d[:, :, None] * d[:, None, :]
     return sym(QT)

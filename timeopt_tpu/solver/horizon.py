@@ -297,9 +297,9 @@ def _propagator_select_vmap_rule(axis_size, in_batched, A_aug, B_aug, Q_aug, R_i
     del axis_size
     assert all(in_batched), "select batching rule expects all-batched args"
     if _pallas_applicable(A_aug):
-        from timeopt_tpu.ops.pallas_lft import propagator_select_lanes
+        from timeopt_tpu.ops.pallas_lft import propagator_select_lanes_df
 
-        J = propagator_select_lanes(A_aug, B_aug, Q_aug, R_inv, C)
+        J = propagator_select_lanes_df(A_aug, B_aug, Q_aug, R_inv, C)
     else:
         J = jax.vmap(propagator_select_cv)(A_aug, B_aug, Q_aug, R_inv, C)
     return J, True

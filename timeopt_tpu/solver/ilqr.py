@@ -55,6 +55,7 @@ class SolveOptions:
     alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.05)
     scan_mode: str = "sequential"  # LFT prefix scan: "sequential" | "associative"
     terminal_mode: str = "factored"  # "factored" (exact) | "inverse" (reference parity)
+    homogeneous_scaling: bool = True  # balance augmented blocks (fp32-critical)
     use_pallas: bool = True  # fused Pallas prefix-scan kernel under batch vmap on TPU
     psd_levels: int = 2
     q_reg: float = 1e-9
@@ -103,11 +104,14 @@ def _select_curve(system: System, prob: Problem, opts: SolveOptions, X, U, A, B)
         blocks = build_augmented(
             system, prob, Xh, Uh, Ah, Bh,
             q_reg=opts.q_reg, rho_reg=opts.rho_reg, psd_levels=opts.psd_levels,
+            scale=opts.homogeneous_scaling,
         )
         if opts.terminal_mode == "factored":
-            terminal = build_terminal_factors(prob, Xh, rho_reg=opts.rho_reg)
+            terminal = build_terminal_factors(prob, Xh, rho_reg=opts.rho_reg, s=blocks.s)
         else:
-            terminal = build_terminal_blocks(prob, Xh, rho_reg=opts.rho_reg)
+            terminal = build_terminal_blocks(prob, Xh, rho_reg=opts.rho_reg, s=blocks.s)
+        # J(T) carries the s_0^2 factor of the homogeneous scaling
+        j_scale = blocks.s[0] ** 2
         if (
             opts.use_pallas
             and opts.scan_mode == "sequential"
@@ -118,10 +122,10 @@ def _select_curve(system: System, prob: Problem, opts: SolveOptions, X, U, A, B)
             # selection runs through the fused Pallas lanes kernels
             from timeopt_tpu.solver.horizon import propagator_select_cv
 
-            return propagator_select_cv(
+            return j_scale * propagator_select_cv(
                 blocks.A_aug, blocks.B_aug, blocks.Q_aug, blocks.R_inv, terminal
             )
-        return propagator_select(
+        return j_scale * propagator_select(
             blocks, terminal,
             scan_mode=opts.scan_mode,
             psd_levels=opts.psd_levels,
@@ -323,3 +327,12 @@ def _pad_U(U: jax.Array, N: int) -> jax.Array:
 def stack_problems(problems: list) -> Problem:
     """Stack a list of same-shape Problems into one batched Problem pytree."""
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *problems)
+
+
+def broadcast_problem(prob: Problem, batch: int) -> Problem:
+    """Tile one Problem into a batch of `batch` identical problems (cheap:
+    broadcasts views instead of stacking copies). Combine with `.replace`
+    to vary per-problem fields, e.g. x0."""
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (batch,) + x.shape), prob
+    )

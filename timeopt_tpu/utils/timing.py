@@ -56,12 +56,13 @@ def profile_solve(
             blocks = build_augmented(
                 system, prob, Xh, Uh, Ah, Bh,
                 q_reg=opts.q_reg, rho_reg=opts.rho_reg, psd_levels=opts.psd_levels,
+                scale=opts.homogeneous_scaling,
             )
             if opts.terminal_mode == "factored":
-                terminal = build_terminal_factors(prob, Xh, rho_reg=opts.rho_reg)
+                terminal = build_terminal_factors(prob, Xh, rho_reg=opts.rho_reg, s=blocks.s)
             else:
-                terminal = build_terminal_blocks(prob, Xh, rho_reg=opts.rho_reg)
-            J = propagator_select(
+                terminal = build_terminal_blocks(prob, Xh, rho_reg=opts.rho_reg, s=blocks.s)
+            J = blocks.s[0] ** 2 * propagator_select(
                 blocks, terminal,
                 scan_mode=opts.scan_mode,
                 psd_levels=opts.psd_levels,
