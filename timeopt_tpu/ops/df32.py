@@ -217,6 +217,34 @@ def df_gj_inv(A, jitter: float, eye):
     return Ih, Il
 
 
+def df_gj_inv_pivots(A, jitter: float, eye):
+    """Like df_gj_inv but also returns the stacked pivot hi-parts (p, b) —
+    positive pivots certify SPD-ness (jittable Cholesky-check analogue)."""
+    Ah, Al = A
+    p = Ah.shape[0]
+    jh, jl = two_sum(Ah, jitter * eye)
+    Mh = jnp.concatenate([jh, eye], axis=1)
+    Ml = jnp.concatenate([Al + jl, jnp.zeros_like(eye)], axis=1)
+    rows = [(Mh[i], Ml[i]) for i in range(p)]
+    pivots = []
+    for i in range(p):
+        piv = (rows[i][0][i][None, :], rows[i][1][i][None, :])
+        pivots.append(piv[0][0])
+        inv_piv = df_recip(piv)
+        r = df_mul(rows[i], inv_piv)
+        new_rows = []
+        for j in range(p):
+            if j == i:
+                new_rows.append(r)
+            else:
+                coeff = (rows[j][0][i][None, :], rows[j][1][i][None, :])
+                new_rows.append(df_sub(rows[j], df_mul(coeff, r)))
+        rows = new_rows
+    Ih = jnp.stack([rows[i][0][p:] for i in range(p)], axis=0)
+    Il = jnp.stack([rows[i][1][p:] for i in range(p)], axis=0)
+    return (Ih, Il), jnp.stack(pivots, axis=0)  # pivots: (p, b)
+
+
 def df_sym_half(X):
     """0.5 (X + X^T) in df (proper df add of the transpose)."""
     h, l = X

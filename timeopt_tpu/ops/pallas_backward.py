@@ -1,0 +1,200 @@
+"""Fused double-single Pallas kernel for the truncated iLQR backward pass.
+
+Same design as the propagator select kernel (timeopt_tpu/ops/pallas_lft.py):
+batch on the lane axis, value-function carry (Vx, Vxx) resident in VMEM
+scratch across the whole reverse sweep, per-step algebra as unrolled
+broadcasted VPU FMAs in df32 (fp32 Riccati noise measurably flips line-search
+accept decisions and final horizons; see ops/df32.py). The reverse time
+order is realized by the grid index map (grid step k processes t = N-1-k).
+
+Per-lane (per-problem) truncation: the terminal injection mask (t+1 == T*)
+and the active mask (t < T*) compare against a *per-lane* T* vector — free
+in lanes layout.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from timeopt_tpu.ops import df32 as dfm
+from timeopt_tpu.ops.pallas_lft import _eye_lanes
+
+
+def _wsel(mask, a, b):
+    """Per-lane select on df pairs; mask broadcasts over leading axes."""
+    return (jnp.where(mask, a[0], b[0]), jnp.where(mask, a[1], b[1]))
+
+
+def _t(X):
+    return (X[0].swapaxes(0, 1), X[1].swapaxes(0, 1))
+
+
+def _backward_kernel(
+    a_ref, b_ref, lx_ref, lu_ref, qs_ref, qfet_ref, etok_ref, sok_ref,
+    qf_ref, r_ref, ts_ref, lm_ref,
+    kap_ref, kk_ref, ok_ref,
+    vxh, vxl, vxxh, vxxl, okc,
+    *, N,
+):
+    k = pl.program_id(1)
+    t = (N - 1) - k
+
+    A = a_ref[0]  # (n, n, bt)
+    Bm = b_ref[0]  # (n, m, bt)
+    lx = lx_ref[0][:, None, :]  # (n, 1, bt)
+    lu = lu_ref[0][:, None, :]  # (m, 1, bt)
+    Qs = qs_ref[0]
+    QfeT = qfet_ref[0][:, None, :]  # (n, 1, bt)
+    eT_ok = etok_ref[0][0]  # (bt,)
+    s_ok = sok_ref[0][0]  # (bt,)
+    Qf = qf_ref[:]  # (n, n, bt)
+    R = r_ref[:]  # (m, m, bt)
+    T_star = ts_ref[0][0]  # (bt,)
+    lm = lm_ref[0][0]  # (bt,)
+
+    n = A.shape[0]
+    m = Bm.shape[1]
+    bt = A.shape[-1]
+    eye_m = _eye_lanes(m, bt, A.dtype)
+
+    ok_prev = jnp.where(k == 0, (T_star > 0).astype(A.dtype), okc[0])
+
+    is_term = ((t + 1) == T_star)[None, None, :]  # (1,1,bt)
+    Vx = _wsel(is_term, dfm.df_mat(QfeT), (vxh[:][:, None, :], vxl[:][:, None, :]))
+    Vxx = _wsel(is_term, dfm.df_mat(Qf), (vxxh[:], vxxl[:]))
+    ok_prev = ok_prev * jnp.where(is_term[0, 0], eT_ok, 1.0)
+
+    Adf = dfm.df_mat(A)
+    Bdf = dfm.df_mat(Bm)
+    Qx = dfm.df_add(dfm.df_mat(lx), dfm.df_matmul_tn(Adf, Vx))
+    Qu = dfm.df_add(dfm.df_mat(lu), dfm.df_matmul_tn(Bdf, Vx))
+    VA = dfm.df_matmul(Vxx, Adf)
+    Qxx = dfm.df_add(dfm.df_mat(Qs), dfm.df_matmul_tn(Adf, VA))
+    VB = dfm.df_matmul(Vxx, Bdf)
+    Quu = dfm.df_add(dfm.df_mat(R), dfm.df_matmul_tn(Bdf, VB))
+    Qux = dfm.df_matmul_tn(Bdf, VA)  # (m, n)
+
+    Quu_reg = dfm.df_add(dfm.df_sym_half(Quu), dfm.df_mat(lm[None, None, :] * eye_m))
+    iQ, piv = dfm.df_gj_inv_pivots(Quu_reg, 0.0, eye_m)
+    pd = jnp.all((piv > 0) & jnp.isfinite(piv), axis=0)  # (bt,)
+
+    kap = dfm.df_neg(dfm.df_matmul(iQ, Qu))  # (m, 1)
+    K = dfm.df_neg(dfm.df_matmul(iQ, Qux))  # (m, n)
+
+    KtQu = dfm.df_matmul_tn(K, Qu)  # (n, 1)
+    Quxt_kap = dfm.df_matmul_tn(Qux, kap)  # (n, 1)
+    Quu_kap = dfm.df_matmul(Quu, kap)
+    KtQuuk = dfm.df_matmul_tn(K, Quu_kap)
+    Vx_new = dfm.df_add(dfm.df_add(Qx, KtQu), dfm.df_add(Quxt_kap, KtQuuk))
+
+    KtQux = dfm.df_matmul_tn(K, Qux)  # (n, n)
+    KtQuuK = dfm.df_matmul_tn(K, dfm.df_matmul(Quu, K))
+    Vxx_new = dfm.df_sym_half(
+        dfm.df_add(dfm.df_add(Qxx, KtQux), dfm.df_add(_t(KtQux), KtQuuK))
+    )
+
+    active = (t < T_star)[None, None, :]  # (1,1,bt)
+    fin = (
+        jnp.all(jnp.isfinite(Vx_new[0]), axis=(0, 1))
+        & jnp.all(jnp.isfinite(Vxx_new[0]), axis=(0, 1))
+    )
+    step_ok = (pd & (s_ok > 0.5) & fin).astype(A.dtype)
+    ok_new = ok_prev * jnp.where(active[0, 0], step_ok, 1.0)
+    okc[0] = ok_new
+
+    Vx_out = _wsel(active, Vx_new, Vx)
+    Vxx_out = _wsel(active, Vxx_new, Vxx)
+    vxh[:], vxl[:] = Vx_out[0][:, 0, :], Vx_out[1][:, 0, :]
+    vxxh[:], vxxl[:] = Vxx_out
+
+    zero = jnp.asarray(0.0, A.dtype)
+    kap_f32 = kap[0] + kap[1]  # (m, 1, bt)
+    K_f32 = K[0] + K[1]  # (m, n, bt)
+    kap_ref[0] = jnp.where(active[0], kap_f32[:, 0, :], zero)
+    kk_ref[0] = jnp.where(active, K_f32, zero)
+    ok_ref[0, 0, :] = ok_new
+
+
+def backward_lanes_df(
+    A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star, lm,
+    *,
+    block_b: int = 128,
+    interpret: bool = False,
+):
+    """Batched truncated backward pass (df32 lanes kernel).
+
+    Batch-leading inputs: A (B,N,n,n), B (B,N,n,m), lx (B,N,n), lu (B,N,m),
+    Qstage (B,N,n,n), QfeT (B,N,n), eT_ok/step_ok (B,N), Qf (B,n,n),
+    R (B,m,m), T_star (B,), lm (B,). Returns kappa (B,N,m), K (B,N,m,n),
+    ok (B,) bool.
+    """
+    Bb, N, n, _ = A.shape
+    m = B.shape[-1]
+    assert Bb % block_b == 0, (Bb, block_b)
+
+    to_lanes4 = lambda x: jnp.transpose(x, (1, 2, 3, 0))
+    to_lanes3 = lambda x: jnp.transpose(x, (1, 2, 0))
+    At = to_lanes4(A)
+    Bt_ = to_lanes4(B)
+    lxt = to_lanes3(lx)
+    lut = to_lanes3(lu)
+    Qst = to_lanes4(Qstage)
+    QfeTt = to_lanes3(QfeT)
+    etokt = jnp.transpose(eT_ok, (1, 0))[:, None, :]  # (N, 1, B)
+    sokt = jnp.transpose(step_ok, (1, 0))[:, None, :]
+    Qft = jnp.transpose(Qf, (1, 2, 0))  # (n, n, B)
+    Rt = jnp.transpose(R, (1, 2, 0))
+    tst = T_star.astype(At.dtype)[None, None, :]  # (1, 1, B)
+    lmt = lm[None, None, :]
+
+    grid = (Bb // block_b, N)
+    rev = lambda i, k: (N - 1 - k, 0, 0, i)
+    rev3 = lambda i, k: (N - 1 - k, 0, i)
+    const3 = lambda i, k: (0, 0, i)
+
+    spec_nn = pl.BlockSpec((1, n, n, block_b), rev, memory_space=pltpu.VMEM)
+    spec_nm = pl.BlockSpec((1, n, m, block_b), rev, memory_space=pltpu.VMEM)
+    spec_n = pl.BlockSpec((1, n, block_b), rev3, memory_space=pltpu.VMEM)
+    spec_m = pl.BlockSpec((1, m, block_b), rev3, memory_space=pltpu.VMEM)
+    spec_f = pl.BlockSpec((1, 1, block_b), rev3, memory_space=pltpu.VMEM)
+    spec_qf = pl.BlockSpec((n, n, block_b), const3, memory_space=pltpu.VMEM)
+    spec_r = pl.BlockSpec((m, m, block_b), const3, memory_space=pltpu.VMEM)
+    spec_c = pl.BlockSpec((1, 1, block_b), const3, memory_space=pltpu.VMEM)
+
+    out_kap = pl.BlockSpec((1, m, block_b), rev3, memory_space=pltpu.VMEM)
+    out_K = pl.BlockSpec((1, m, n, block_b), rev, memory_space=pltpu.VMEM)
+    out_ok = pl.BlockSpec((1, 1, block_b), rev3, memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_backward_kernel, N=N)
+    kappa, K, ok = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            spec_nn, spec_nm, spec_n, spec_m, spec_nn, spec_n, spec_f, spec_f,
+            spec_qf, spec_r, spec_c, spec_c,
+        ],
+        out_specs=(out_kap, out_K, out_ok),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, m, Bb), At.dtype),
+            jax.ShapeDtypeStruct((N, m, n, Bb), At.dtype),
+            jax.ShapeDtypeStruct((N, 1, Bb), At.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, block_b), At.dtype),
+            pltpu.VMEM((n, block_b), At.dtype),
+            pltpu.VMEM((n, n, block_b), At.dtype),
+            pltpu.VMEM((n, n, block_b), At.dtype),
+            pltpu.VMEM((1, block_b), At.dtype),
+        ],
+        interpret=interpret,
+    )(At, Bt_, lxt, lut, Qst, QfeTt, etokt, sokt, Qft, Rt, tst, lmt)
+
+    kappa_b = jnp.transpose(kappa, (2, 0, 1))  # (B, N, m)
+    K_b = jnp.transpose(K, (3, 0, 1, 2))  # (B, N, m, n)
+    ok_b = ok[0, 0, :] > 0.5  # row t=0, written by the last grid step
+    return kappa_b, K_b, ok_b

@@ -6,6 +6,13 @@ N steps; the terminal expansion is injected where k+1 == T*, steps with
 k >= T* pass the value function through unchanged, and their gains are zeroed.
 SPD failure of Quu_reg at any active step clears the `ok` flag (the jittable
 analogue of the reference's early `return None, None, False`).
+
+The core is an array-only function behind `jax.custom_batching.custom_vmap`:
+under a problem-batch vmap on TPU it dispatches to the fused double-single
+Pallas kernel (timeopt_tpu.ops.pallas_backward) — same reasons as the
+propagator select kernel: batch-on-lanes layout for bandwidth, df32
+arithmetic because fp32 Riccati noise measurably flips accept/reject
+decisions and final horizons.
 """
 
 from __future__ import annotations
@@ -52,37 +59,29 @@ def stage_expansion(system: System, prob: Problem, X: jax.Array, U: jax.Array):
     return e, du, lx, lu, l0, Qstage
 
 
-def backward_truncated(
-    system: System,
-    prob: Problem,
-    A: jax.Array,
-    B: jax.Array,
-    X: jax.Array,
-    U: jax.Array,
-    T_star: jax.Array,
-    lm_lambda: jax.Array,
-) -> BackwardResult:
-    N = prob.N
-    m = prob.m
-    e, du, lx, lu, _, Qstage = stage_expansion(system, prob, X, U)
-    QfT = sym(prob.Qf)
-    I_m = jnp.eye(m, dtype=X.dtype)
+def _backward_arrays(A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok_in, Qf, R, T_star, lm_lambda):
+    """Array-only masked reverse scan (unbatched reference implementation).
+
+    QfeT[k] = Qf @ wrap(x_{k+1} - xg) (terminal gradient if T* == k+1);
+    eT_ok[k] / step_ok_in[k]: finiteness flags (1.0/0.0)."""
+    N, n = A.shape[0], A.shape[1]
+    m = B.shape[2]
+    dtype = A.dtype
+    I_m = jnp.eye(m, dtype=dtype)
 
     def f(carry, inp):
         Vx, Vxx, ok = carry
-        k, Ak, Bk, lxk, luk, Qsk, x_next, ek, duk = inp
+        k, Ak, Bk, lxk, luk, Qsk, QfeTk, eTokk, sokk = inp
 
-        # terminal injection at k+1 == T*
-        eT = wrap_error(x_next - prob.xg, prob.wrap_mask)
         is_term = (k + 1) == T_star
-        Vx_in = jnp.where(is_term, prob.Qf @ eT, Vx)
-        Vxx_in = jnp.where(is_term, QfT, Vxx)
-        ok = ok & jnp.where(is_term, jnp.all(jnp.isfinite(eT)), True)
+        Vx_in = jnp.where(is_term, QfeTk, Vx)
+        Vxx_in = jnp.where(is_term, Qf, Vxx)
+        ok = ok & jnp.where(is_term, eTokk > 0.5, True)
 
         Qx = lxk + Ak.T @ Vx_in
         Qu = luk + Bk.T @ Vx_in
         Qxx = Qsk + Ak.T @ Vxx_in @ Ak
-        Quu = prob.R + Bk.T @ Vxx_in @ Bk
+        Quu = R + Bk.T @ Vxx_in @ Bk
         Qux = Bk.T @ Vxx_in @ Ak
 
         Quu_reg = sym(Quu) + lm_lambda * I_m
@@ -97,8 +96,7 @@ def backward_truncated(
         active = k < T_star
         step_ok = (
             pd
-            & jnp.all(jnp.isfinite(ek))
-            & jnp.all(jnp.isfinite(duk))
+            & (sokk > 0.5)
             & jnp.all(jnp.isfinite(Vx_new))
             & jnp.all(jnp.isfinite(Vxx_new))
         )
@@ -106,20 +104,76 @@ def backward_truncated(
 
         Vx_out = jnp.where(active, Vx_new, Vx_in)
         Vxx_out = jnp.where(active, Vxx_new, Vxx_in)
-        zero = jnp.asarray(0.0, X.dtype)
+        zero = jnp.asarray(0.0, dtype)
         return (Vx_out, Vxx_out, ok), (
             jnp.where(active, kap, zero),
             jnp.where(active, Kk, zero),
         )
 
-    n = prob.n
     init = (
-        jnp.zeros(n, dtype=X.dtype),
-        jnp.zeros((n, n), dtype=X.dtype),
+        jnp.zeros(n, dtype=dtype),
+        jnp.zeros((n, n), dtype=dtype),
         (T_star > 0),
     )
     ks = jnp.arange(N)
     (_, _, ok), (kappa, K) = lax.scan(
-        f, init, (ks, A, B, lx, lu, Qstage, X[1:], e, du), reverse=True
+        f, init, (ks, A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok_in), reverse=True
+    )
+    return kappa, K, ok
+
+
+def _pallas_applicable(x: jax.Array) -> bool:
+    try:
+        backend_ok = jax.devices()[0].platform == "tpu"
+    except Exception:
+        backend_ok = False
+    return backend_ok and x.dtype == jnp.float32 and x.shape[0] % 128 == 0
+
+
+@jax.custom_batching.custom_vmap
+def _backward_core_cv(A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star, lm):
+    return _backward_arrays(A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star, lm)
+
+
+@_backward_core_cv.def_vmap
+def _backward_vmap_rule(axis_size, in_batched, A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star, lm):
+    del axis_size
+    assert all(in_batched), "backward batching rule expects all-batched args"
+    if _pallas_applicable(A):
+        from timeopt_tpu.ops.pallas_backward import backward_lanes_df
+
+        kappa, K, ok = backward_lanes_df(
+            A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star, lm
+        )
+    else:
+        kappa, K, ok = jax.vmap(_backward_core_cv)(
+            A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star, lm
+        )
+    return (kappa, K, ok), (True, True, True)
+
+
+def backward_truncated(
+    system: System,
+    prob: Problem,
+    A: jax.Array,
+    B: jax.Array,
+    X: jax.Array,
+    U: jax.Array,
+    T_star: jax.Array,
+    lm_lambda: jax.Array,
+) -> BackwardResult:
+    e, du, lx, lu, _, Qstage = stage_expansion(system, prob, X, U)
+    QfT = sym(prob.Qf)
+    eTs = wrap_error(X[1:] - prob.xg, prob.wrap_mask)  # (N, n)
+    QfeT = eTs @ QfT.T
+    dtype = X.dtype
+    eT_ok = jnp.all(jnp.isfinite(eTs), axis=-1).astype(dtype)
+    step_ok = (
+        jnp.all(jnp.isfinite(e), axis=-1) & jnp.all(jnp.isfinite(du), axis=-1)
+    ).astype(dtype)
+
+    kappa, K, ok = _backward_core_cv(
+        A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok,
+        QfT, prob.R, T_star.astype(jnp.int32), jnp.asarray(lm_lambda, dtype),
     )
     return BackwardResult(kappa=kappa, K=K, ok=ok)
