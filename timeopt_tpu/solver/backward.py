@@ -137,8 +137,13 @@ def _backward_core_cv(A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star,
 
 @_backward_core_cv.def_vmap
 def _backward_vmap_rule(axis_size, in_batched, A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star, lm):
-    del axis_size
-    assert all(in_batched), "backward batching rule expects all-batched args"
+    # broadcast any unbatched operands (e.g. a shared lm or Qf) to the batch
+    args = [A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star, lm]
+    args = [
+        a if b else jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
+        for a, b in zip(args, in_batched)
+    ]
+    A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star, lm = args
     if _pallas_applicable(A):
         from timeopt_tpu.ops.pallas_backward import backward_lanes_df
 
@@ -146,7 +151,7 @@ def _backward_vmap_rule(axis_size, in_batched, A, B, lx, lu, Qstage, QfeT, eT_ok
             A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star, lm
         )
     else:
-        kappa, K, ok = jax.vmap(_backward_core_cv)(
+        kappa, K, ok = jax.vmap(_backward_arrays)(
             A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star, lm
         )
     return (kappa, K, ok), (True, True, True)

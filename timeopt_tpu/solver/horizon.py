@@ -274,32 +274,40 @@ def _pallas_applicable(x: jax.Array) -> bool:
     return backend_ok and x.dtype == jnp.float32 and x.shape[0] % 128 == 0
 
 
-@jax.custom_batching.custom_vmap
-def propagator_select_cv(A_aug, B_aug, Q_aug, R_inv, C):
-    """Propagator selection (sequential scan, factored terminal,
-    psd_levels=1) with a custom batching rule: when vmapped over a problem
-    batch on TPU, the whole batch runs through the fused Pallas lanes
-    kernels (timeopt_tpu.ops.pallas_lft) — elements computed inline in the
-    scan, batch on the lane axis, prefix carried in VMEM — instead of a
-    batch of per-problem XLA scans. Identical math, ~10x less HBM traffic.
-
-    Unbatched: A_aug/Q_aug (N, p, p), B_aug (N, p, m), R_inv (m, m),
-    C (N, n, p); returns J (N,).
-    """
+def _select_impl(A_aug, B_aug, Q_aug, R_inv, C):
     blocks = AugmentedBlocks(A_aug=A_aug, B_aug=B_aug, Q_aug=Q_aug, R_inv=R_inv)
     elems = lft_elements(blocks, psd_levels=1)
     pre = lft_prefix_scan(elems, mode="sequential", psd_levels=1)
     return propagator_J_curve_factored(pre, C, psd_levels=1)
 
 
+@jax.custom_batching.custom_vmap
+def propagator_select_cv(A_aug, B_aug, Q_aug, R_inv, C):
+    """Propagator selection (sequential scan, factored terminal,
+    psd_levels=1) with a custom batching rule: when vmapped over a problem
+    batch on TPU, the whole batch runs through the fused Pallas lanes
+    kernels (timeopt_tpu.ops.pallas_lft) — elements computed inline in the
+    scan, batch on the lane axis, prefix carried in VMEM, all arithmetic in
+    double-single precision — instead of a batch of per-problem XLA scans.
+
+    Unbatched: A_aug/Q_aug (N, p, p), B_aug (N, p, m), R_inv (m, m),
+    C (N, n, p); returns J (N,).
+    """
+    return _select_impl(A_aug, B_aug, Q_aug, R_inv, C)
+
+
 @propagator_select_cv.def_vmap
 def _propagator_select_vmap_rule(axis_size, in_batched, A_aug, B_aug, Q_aug, R_inv, C):
-    del axis_size
-    assert all(in_batched), "select batching rule expects all-batched args"
+    args = [A_aug, B_aug, Q_aug, R_inv, C]
+    args = [
+        a if b else jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
+        for a, b in zip(args, in_batched)
+    ]
+    A_aug, B_aug, Q_aug, R_inv, C = args
     if _pallas_applicable(A_aug):
         from timeopt_tpu.ops.pallas_lft import propagator_select_lanes_df
 
         J = propagator_select_lanes_df(A_aug, B_aug, Q_aug, R_inv, C)
     else:
-        J = jax.vmap(propagator_select_cv)(A_aug, B_aug, Q_aug, R_inv, C)
+        J = jax.vmap(_select_impl)(A_aug, B_aug, Q_aug, R_inv, C)
     return J, True
