@@ -1,0 +1,66 @@
+"""Benchmark-runner CLI tests: CSV schema parity with the reference
+(/root/reference/run_suite.py outputs) and figure generation."""
+
+import os
+
+import numpy as np
+import pytest
+
+pd = pytest.importorskip("pandas")
+
+from timeopt_tpu.runner import plot as plot_mod
+from timeopt_tpu.runner.run_suite import main as suite_main
+
+REFERENCE_COLUMNS = [
+    "case", "trial", "solver", "status", "T_star", "J_star", "total_time",
+    "final_err", "success", "n_iter", "solver_error",
+]
+
+
+@pytest.fixture(scope="module")
+def suite_outdir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("suite")
+    suite_main([
+        "--outdir", str(out),
+        "--trials", "3",
+        "--max-iter", "6",
+        "--cases", "DoubleIntegrator",
+        "--solvers", "ourmethod,baseline1",
+    ])
+    return out
+
+
+def test_summary_schema(suite_outdir):
+    df = pd.read_csv(os.path.join(suite_outdir, "summary_all.csv"))
+    for col in REFERENCE_COLUMNS + ["best_J", "cost_ratio_best", "time_base", "time_ratio_base"]:
+        assert col in df.columns, col
+    assert len(df) == 3 * 2  # trials x solvers
+    assert set(df["solver"]) == {"ourmethod", "baseline1"}
+    assert df["success"].all()
+    # propagator == bruteforce horizon on every trial
+    piv = df.pivot_table(index="trial", columns="solver", values="T_star")
+    np.testing.assert_array_equal(piv["ourmethod"], piv["baseline1"])
+
+
+def test_agg_schema(suite_outdir):
+    agg = pd.read_csv(os.path.join(suite_outdir, "summary_agg.csv"))
+    for col in ["case", "solver", "n", "success_rate", "T_median", "J_median",
+                "time_median", "ratio_cost_median", "ratio_time_median"]:
+        assert col in agg.columns
+    assert (agg["success_rate"] == 1.0).all()
+
+
+def test_per_case_outputs(suite_outdir):
+    assert os.path.exists(os.path.join(suite_outdir, "DoubleIntegrator", "summary_all.csv"))
+    assert os.path.exists(os.path.join(suite_outdir, "DoubleIntegrator", "summary_agg.csv"))
+
+
+def test_plots(suite_outdir):
+    pytest.importorskip("matplotlib")
+    plot_mod.main([
+        "--csv", os.path.join(suite_outdir, "summary_all.csv"),
+        "--outdir", str(suite_outdir),
+    ])
+    for f in ["paper_main.png", "boxplot_cost_ratio.png", "boxplot_runtime_ratio.png",
+              "boxplot_T_star.png"]:
+        assert os.path.exists(os.path.join(suite_outdir, f))
