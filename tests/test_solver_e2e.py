@@ -86,6 +86,32 @@ def test_batched_solve_matches_individual():
         np.testing.assert_allclose(float(rb.J_star[i]), float(ri.J_star), rtol=1e-9)
 
 
+def test_quadrotor_small_prop_equals_bruteforce():
+    """Nonlinear 12-DoF quadrotor (reduced horizon for test speed):
+    propagator and brute-force agree on T* and J*."""
+    from timeopt_tpu.models.base import make_problem
+
+    system, _ = get_system("Quadrotor")
+    prob = make_problem(
+        x0=[1.0, 1.0, 1.0] + [0.0] * 9,
+        xg=[0.0] * 12,
+        u_ref=[9.81, 0.0, 0.0, 0.0],
+        Q=np.diag([5.0, 5, 5, 1, 1, 1, 20, 20, 10, 1, 1, 1]),
+        R=np.diag([1e-3, 1e-2, 1e-2, 1e-2]),
+        alpha=300.0,
+        w=0.005,
+        N=48,
+        T_min=10,
+        T_max=48,
+        wrap_idx=(6, 7, 8),
+    )
+    rp = solve(system, prob, options=SolveOptions(method="propagator", max_iter=8))
+    rb = solve(system, prob, options=SolveOptions(method="bruteforce", max_iter=8))
+    assert int(rp.T_star) == int(rb.T_star)
+    np.testing.assert_allclose(float(rp.J_star), float(rb.J_star), rtol=1e-6)
+    assert np.isfinite(float(rp.J_star))
+
+
 def test_pointmass_extra_cost_solve():
     """The extra-stage-cost hook (obstacle penalties) runs end-to-end and the
     solution avoids obstacle centers."""

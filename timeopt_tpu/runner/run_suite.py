@@ -89,6 +89,8 @@ def run_case(
     success_tol: float,
     timing: str = "amortized",
     dtype=jnp.float64,
+    save_trajectories: bool = False,
+    outdir: str = ".",
 ):
     from timeopt_tpu.ops.wrap import wrap_error
     from timeopt_tpu.solver.ilqr import SolveOptions, solve_batch, solve
@@ -128,6 +130,15 @@ def run_case(
         J = np.asarray(res.J_star)
         X = np.asarray(res.X)
         nacc = np.asarray(res.n_accept)
+
+        if save_trajectories:
+            case_dir = os.path.join(outdir, case)
+            os.makedirs(case_dir, exist_ok=True)
+            np.savez_compressed(
+                os.path.join(case_dir, f"trajectories_{solver_name}.npz"),
+                X=X, U=np.asarray(res.U), T_star=T, J_star=J,
+                J_hist=np.asarray(res.J_hist), T_hist=np.asarray(res.T_hist),
+            )
         xg = np.asarray(probs.xg)
         wrap_mask = np.asarray(base.wrap_mask)
 
@@ -216,6 +227,10 @@ def main(argv=None):
     ap.add_argument("--cases", type=str, default="")
     ap.add_argument("--timing", choices=["amortized", "per-solve"], default="amortized")
     ap.add_argument("--f32", action="store_true", help="solve in float32 (TPU fast path)")
+    ap.add_argument(
+        "--save-trajectories", action="store_true",
+        help="save per-case solved trajectories (X, U, T*, J*) to <outdir>/<case>/trajectories_<solver>.npz",
+    )
     args = ap.parse_args(argv)
 
     solvers = [s.strip() for s in args.solvers.split(",") if s.strip()]
@@ -248,6 +263,8 @@ def main(argv=None):
             success_tol=args.success_tol,
             timing=args.timing,
             dtype=dtype,
+            save_trajectories=args.save_trajectories,
+            outdir=args.outdir,
         )
         df_case, agg_case = enrich_and_aggregate(pd.DataFrame(rows), solvers)
         case_dir = os.path.join(args.outdir, case)
