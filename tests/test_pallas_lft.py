@@ -91,3 +91,30 @@ def test_scan_lanes_matches_prefix_scan(rng):
     np.testing.assert_allclose(
         np.transpose(np.asarray(G), (3, 0, 1, 2)), np.asarray(ref.G), rtol=2e-3, atol=1e-4
     )
+
+
+def test_fused_select_df_matches_xla_loose(rng):
+    """df32 fused kernel in interpret mode: loose f32-level tolerance
+    (interpret degrades the double-single tricks; exactness is verified on
+    real TPU hardware). Also checks the T_min query gating (+inf below)."""
+    from timeopt_tpu.ops.pallas_lft import propagator_select_lanes_df
+
+    A_aug, B_aug, Q_aug, R_inv, C = _batched_blocks(rng)
+
+    def one(a, b, q, r, c):
+        from timeopt_tpu.solver.augmented import AugmentedBlocks
+
+        blocks = AugmentedBlocks(A_aug=a, B_aug=b, Q_aug=q, R_inv=r)
+        pre = lft_prefix_scan(
+            lft_elements(blocks, psd_levels=1), mode="sequential", psd_levels=1
+        )
+        return propagator_J_curve_factored(pre, c, psd_levels=1)
+
+    J_ref = np.asarray(jax.vmap(one)(A_aug, B_aug, Q_aug, R_inv, C))
+    J_df = np.asarray(
+        propagator_select_lanes_df(
+            A_aug, B_aug, Q_aug, R_inv, C, block_b=8, t_min=3, interpret=True
+        )
+    )
+    assert np.all(np.isinf(J_df[:, :2]))
+    np.testing.assert_allclose(J_df[:, 2:], J_ref[:, 2:], rtol=5e-3, atol=1e-3)

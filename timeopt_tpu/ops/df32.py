@@ -129,6 +129,18 @@ def df_mat(A):
     return A, jnp.zeros_like(A)
 
 
+def _acc_step(acc, xk, yk):
+    """One sloppy-accumulation FMA: exact TwoProd for the product hi, loose
+    lo accumulation (renormalized once per output by the caller). |lo| grows
+    to ~kdim ulps — harmless for kdim <= a few dozen."""
+    ph, pe = two_prod(xk[0], yk[0])
+    pe = pe + (xk[0] * yk[1] + xk[1] * yk[0])
+    if acc is None:
+        return ph, pe
+    sh, se = two_sum(acc[0], ph)
+    return sh, acc[1] + pe + se
+
+
 def df_matmul(X, Y):
     """C[i,j,b] = sum_k X[i,k,b] Y[k,j,b] in df32; X: (a,k,b), Y: (k,c,b)."""
     Xh, Xl = X
@@ -138,9 +150,8 @@ def df_matmul(X, Y):
     for k in range(kdim):
         xk = (Xh[:, k : k + 1, :], Xl[:, k : k + 1, :])
         yk = (Yh[k : k + 1, :, :], Yl[k : k + 1, :, :])
-        t = df_mul(xk, yk)
-        acc = t if acc is None else df_add(acc, t)
-    return acc
+        acc = _acc_step(acc, xk, yk)
+    return quick_two_sum(*acc)
 
 
 def df_matmul_nt(X, Y):
@@ -155,9 +166,8 @@ def df_matmul_nt(X, Y):
             Yh[:, k : k + 1, :].swapaxes(0, 1),
             Yl[:, k : k + 1, :].swapaxes(0, 1),
         )
-        t = df_mul(xk, yk)
-        acc = t if acc is None else df_add(acc, t)
-    return acc
+        acc = _acc_step(acc, xk, yk)
+    return quick_two_sum(*acc)
 
 
 def df_matmul_tn(X, Y):
@@ -172,9 +182,36 @@ def df_matmul_tn(X, Y):
             Xl[k : k + 1, :, :].swapaxes(0, 1),
         )
         yk = (Yh[k : k + 1, :, :], Yl[k : k + 1, :, :])
-        t = df_mul(xk, yk)
-        acc = t if acc is None else df_add(acc, t)
-    return acc
+        acc = _acc_step(acc, xk, yk)
+    return quick_two_sum(*acc)
+
+
+def df_gj_solve_elast(A, jitter: float, eye):
+    """Solve (A + jitter I) y = e_last for the LAST unit vector in df32; GJ
+    elimination on a (p, p+1, b) augmented system (≈ half the work of the
+    full inverse). Returns y as a df (p, 1, b) pair."""
+    Ah, Al = A
+    p = Ah.shape[0]
+    jh, jl = two_sum(Ah, jitter * eye)
+    rhs = eye[:, p - 1 : p, :]  # (p, 1, b) = e_last
+    Mh = jnp.concatenate([jh, rhs], axis=1)  # (p, p+1, b)
+    Ml = jnp.concatenate([Al + jl, jnp.zeros_like(rhs)], axis=1)
+    rows = [(Mh[i], Ml[i]) for i in range(p)]
+    for i in range(p):
+        piv = (rows[i][0][i][None, :], rows[i][1][i][None, :])
+        inv_piv = df_recip(piv)
+        r = df_mul(rows[i], inv_piv)
+        new_rows = []
+        for j in range(p):
+            if j == i:
+                new_rows.append(r)
+            else:
+                coeff = (rows[j][0][i][None, :], rows[j][1][i][None, :])
+                new_rows.append(df_sub(rows[j], df_mul(coeff, r)))
+        rows = new_rows
+    yh = jnp.stack([rows[i][0][p:] for i in range(p)], axis=0)  # (p, 1, b)
+    yl = jnp.stack([rows[i][1][p:] for i in range(p)], axis=0)
+    return yh, yl
 
 
 def df_sym(X):

@@ -273,10 +273,12 @@ def propagator_select_lanes(
 # =============================================================================
 
 
-def _df_select_kernel(a_ref, q_ref, brb_ref, c_ref, j_ref, cEh, cEl, cFh, cFl, cGh, cGl, *, jitter):
+def _df_select_kernel(
+    a_ref, q_ref, brb_ref, c_ref, j_ref, cEh, cEl, cFh, cFl, cGh, cGl, *, jitter, t_min
+):
     """Per grid step (i, k): build the LFT element for step k from the
     streamed augmented blocks, compose it onto the VMEM-resident prefix, and
-    immediately evaluate the factored terminal query for horizon T = k+1 —
+    (for horizons T = k+1 >= t_min) evaluate the factored terminal query —
     all in double-single (df32) arithmetic (fp32 alone corrupts the J(T)
     argmin; see timeopt_tpu/ops/df32.py)."""
     from timeopt_tpu.ops import df32 as dfm
@@ -322,15 +324,24 @@ def _df_select_kernel(a_ref, q_ref, brb_ref, c_ref, j_ref, cEh, cEl, cFh, cFl, c
     cEh[:], cEl[:] = Ep
     cFh[:], cFl[:] = Fp
     cGh[:], cGl[:] = Gp
-    Cdf = dfm.df_mat(Ck)
-    CG = dfm.df_matmul(Cdf, Gp)  # (n, p)
-    S = dfm.df_add(dfm.df_mat(eye_n), dfm.df_matmul_nt(CG, Cdf))
-    Sinv = dfm.df_gj_inv(S, 0.0, eye_n)
-    FCt = dfm.df_matmul_nt(Fp, Cdf)  # (p, n)
-    Z = dfm.df_matmul(FCt, Sinv)
-    X0 = dfm.df_sym_half(dfm.df_sub(Ep, dfm.df_matmul_nt(Z, FCt)))
-    X0inv = dfm.df_gj_inv(X0, jitter, eye_p)
-    j_ref[0, 0, :] = 0.5 * (X0inv[0][p - 1, p - 1, :] + X0inv[1][p - 1, p - 1, :])
+
+    # horizons below T_min never reach the argmin window — skip their queries
+    @pl.when(k + 1 >= t_min)
+    def _():
+        Cdf = dfm.df_mat(Ck)
+        CG = dfm.df_matmul(Cdf, Gp)  # (n, p)
+        S = dfm.df_add(dfm.df_mat(eye_n), dfm.df_matmul_nt(CG, Cdf))
+        Sinv = dfm.df_gj_inv(S, 0.0, eye_n)
+        FCt = dfm.df_matmul_nt(Fp, Cdf)  # (p, n)
+        Z = dfm.df_matmul(FCt, Sinv)
+        X0 = dfm.df_sym_half(dfm.df_sub(Ep, dfm.df_matmul_nt(Z, FCt)))
+        # only (X0^-1)[p-1, p-1] is needed: solve X0 y = e_last
+        y = dfm.df_gj_solve_elast(X0, jitter, eye_p)
+        j_ref[0, 0, :] = 0.5 * (y[0][p - 1, 0, :] + y[1][p - 1, 0, :])
+
+    @pl.when(k + 1 < t_min)
+    def _():
+        j_ref[0, 0, :] = jnp.full((b,), jnp.inf, Ak.dtype)
 
 
 def propagator_select_lanes_df(
@@ -342,6 +353,7 @@ def propagator_select_lanes_df(
     *,
     jitter: float = 1e-9,
     block_b: int = 128,
+    t_min: int = 1,
     interpret: bool = False,
 ) -> jax.Array:
     """Whole propagator selection on a problem batch in double-single
@@ -350,7 +362,7 @@ def propagator_select_lanes_df(
     arithmetic is not).
 
     A_aug, Q_aug: (B, N, p, p); B_aug: (B, N, p, m); R_inv: (B, m, m);
-    C: (B, N, n, p). Returns J: (B, N).
+    C: (B, N, n, p). Returns J: (B, N) with +inf below t_min.
     """
     BRB = jnp.einsum("bnim,bmo,bnjo->bnij", B_aug, R_inv, B_aug)
     At, Qt, BRBt = (jnp.transpose(x, (1, 2, 3, 0)) for x in (A_aug, Q_aug, BRB))
@@ -369,7 +381,7 @@ def propagator_select_lanes_df(
     )
     jspec = pl.BlockSpec((1, 1, block_b), lambda i, k: (k, 0, i), memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_df_select_kernel, jitter=jitter)
+    kernel = functools.partial(_df_select_kernel, jitter=jitter, t_min=t_min)
     scratch = [pltpu.VMEM((p, p, block_b), At.dtype) for _ in range(6)]
     out = pl.pallas_call(
         kernel,

@@ -281,33 +281,43 @@ def _select_impl(A_aug, B_aug, Q_aug, R_inv, C):
     return propagator_J_curve_factored(pre, C, psd_levels=1)
 
 
-@jax.custom_batching.custom_vmap
-def propagator_select_cv(A_aug, B_aug, Q_aug, R_inv, C):
-    """Propagator selection (sequential scan, factored terminal,
-    psd_levels=1) with a custom batching rule: when vmapped over a problem
-    batch on TPU, the whole batch runs through the fused Pallas lanes
-    kernels (timeopt_tpu.ops.pallas_lft) — elements computed inline in the
-    scan, batch on the lane axis, prefix carried in VMEM, all arithmetic in
-    double-single precision — instead of a batch of per-problem XLA scans.
-
-    Unbatched: A_aug/Q_aug (N, p, p), B_aug (N, p, m), R_inv (m, m),
-    C (N, n, p); returns J (N,).
-    """
-    return _select_impl(A_aug, B_aug, Q_aug, R_inv, C)
+import functools as _functools
 
 
-@propagator_select_cv.def_vmap
-def _propagator_select_vmap_rule(axis_size, in_batched, A_aug, B_aug, Q_aug, R_inv, C):
-    args = [A_aug, B_aug, Q_aug, R_inv, C]
-    args = [
-        a if b else jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
-        for a, b in zip(args, in_batched)
-    ]
-    A_aug, B_aug, Q_aug, R_inv, C = args
-    if _pallas_applicable(A_aug):
-        from timeopt_tpu.ops.pallas_lft import propagator_select_lanes_df
+@_functools.lru_cache(maxsize=None)
+def _make_select_cv(t_min: int):
+    """Build the custom_vmap'd selection function for a static T_min.
 
-        J = propagator_select_lanes_df(A_aug, B_aug, Q_aug, R_inv, C)
-    else:
-        J = jax.vmap(_select_impl)(A_aug, B_aug, Q_aug, R_inv, C)
-    return J, True
+    When vmapped over a problem batch on TPU, the whole batch runs through
+    the fused df32 Pallas lanes kernel (timeopt_tpu.ops.pallas_lft) —
+    elements computed inline in the scan, batch on the lane axis, prefix
+    carried in VMEM, terminal queries skipped below T_min — instead of a
+    batch of per-problem XLA scans. Unbatched falls back to the XLA path
+    (which evaluates all horizons; only entries >= T_min are consumed by
+    the argmin either way)."""
+
+    @jax.custom_batching.custom_vmap
+    def cv(A_aug, B_aug, Q_aug, R_inv, C):
+        return _select_impl(A_aug, B_aug, Q_aug, R_inv, C)
+
+    @cv.def_vmap
+    def _rule(axis_size, in_batched, A_aug, B_aug, Q_aug, R_inv, C):
+        args = [A_aug, B_aug, Q_aug, R_inv, C]
+        args = [
+            a if b else jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
+            for a, b in zip(args, in_batched)
+        ]
+        A_aug, B_aug, Q_aug, R_inv, C = args
+        if _pallas_applicable(A_aug):
+            from timeopt_tpu.ops.pallas_lft import propagator_select_lanes_df
+
+            J = propagator_select_lanes_df(A_aug, B_aug, Q_aug, R_inv, C, t_min=t_min)
+        else:
+            J = jax.vmap(_select_impl)(A_aug, B_aug, Q_aug, R_inv, C)
+        return J, True
+
+    return cv
+
+
+def propagator_select_cv(A_aug, B_aug, Q_aug, R_inv, C, t_min: int = 1):
+    return _make_select_cv(int(t_min))(A_aug, B_aug, Q_aug, R_inv, C)

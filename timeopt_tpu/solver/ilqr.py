@@ -123,7 +123,8 @@ def _select_curve(system: System, prob: Problem, opts: SolveOptions, X, U, A, B)
             from timeopt_tpu.solver.horizon import propagator_select_cv
 
             return j_scale * propagator_select_cv(
-                blocks.A_aug, blocks.B_aug, blocks.Q_aug, blocks.R_inv, terminal
+                blocks.A_aug, blocks.B_aug, blocks.Q_aug, blocks.R_inv, terminal,
+                t_min=prob.T_min,
             )
         return j_scale * propagator_select(
             blocks, terminal,
