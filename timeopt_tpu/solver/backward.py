@@ -127,7 +127,7 @@ def _pallas_applicable(x: jax.Array) -> bool:
         backend_ok = jax.devices()[0].platform == "tpu"
     except Exception:
         backend_ok = False
-    return backend_ok and x.dtype == jnp.float32 and x.shape[0] % 128 == 0
+    return backend_ok and x.dtype == jnp.float32
 
 
 @jax.custom_batching.custom_vmap
@@ -146,10 +146,13 @@ def _backward_vmap_rule(axis_size, in_batched, A, B, lx, lu, Qstage, QfeT, eT_ok
     A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star, lm = args
     if _pallas_applicable(A):
         from timeopt_tpu.ops.pallas_backward import backward_lanes_df
+        from timeopt_tpu.solver.horizon import _pad_batch
 
-        kappa, K, ok = backward_lanes_df(
-            A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star, lm
+        padded, Bb = _pad_batch(
+            [A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star, lm]
         )
+        kappa, K, ok = backward_lanes_df(*padded)
+        kappa, K, ok = kappa[:Bb], K[:Bb], ok[:Bb]
     else:
         kappa, K, ok = jax.vmap(_backward_arrays)(
             A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star, lm

@@ -266,12 +266,30 @@ def bruteforce_J_curve(
 
 
 def _pallas_applicable(x: jax.Array) -> bool:
-    """Pallas lanes kernels: TPU backend, f32, batch a multiple of 128."""
+    """Pallas lanes kernels: TPU backend + f32 (plain f32 XLA fallbacks are
+    numerically WRONG for this recursion — see ops/df32.py — so any f32 TPU
+    batch must reach the df kernels; batch sizes are padded to the lane-tile
+    multiple by _pad_batch)."""
     try:
         backend_ok = jax.devices()[0].platform == "tpu"
     except Exception:
         backend_ok = False
-    return backend_ok and x.dtype == jnp.float32 and x.shape[0] % 128 == 0
+    return backend_ok and x.dtype == jnp.float32
+
+
+def _pad_batch(arrays, multiple: int = 128):
+    """Pad the leading batch axis of each array up to a multiple of the lane
+    tile by repeating the first element (well-conditioned filler). Returns
+    (padded_arrays, original_B)."""
+    Bb = arrays[0].shape[0]
+    pad = (-Bb) % multiple
+    if pad == 0:
+        return arrays, Bb
+    out = []
+    for a in arrays:
+        filler = jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])
+        out.append(jnp.concatenate([a, filler], axis=0))
+    return out, Bb
 
 
 def _select_impl(A_aug, B_aug, Q_aug, R_inv, C):
@@ -311,7 +329,11 @@ def _make_select_cv(t_min: int):
         if _pallas_applicable(A_aug):
             from timeopt_tpu.ops.pallas_lft import propagator_select_lanes_df
 
+            (A_aug, B_aug, Q_aug, R_inv, C), Bb = _pad_batch(
+                [A_aug, B_aug, Q_aug, R_inv, C]
+            )
             J = propagator_select_lanes_df(A_aug, B_aug, Q_aug, R_inv, C, t_min=t_min)
+            J = J[:Bb]
         else:
             J = jax.vmap(_select_impl)(A_aug, B_aug, Q_aug, R_inv, C)
         return J, True

@@ -291,6 +291,17 @@ def solve(
         U_init = default_U_init(prob)
     else:
         U_init = _pad_U(jnp.asarray(U_init, dtype=prob.x0.dtype), prob.N)
+    # On TPU, f32 must go through the df32 Pallas kernels (the plain-f32 XLA
+    # path is numerically wrong for the propagator recursion) — the kernels
+    # sit behind the batching rule, so route a single solve as a batch of 1.
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    if on_tpu and prob.x0.dtype == jnp.float32 and opts.use_pallas:
+        probs = jax.tree.map(lambda x: x[None], prob)
+        res = _solve_batch_jit(system, opts, probs, U_init[None])
+        return jax.tree.map(lambda x: x[0], res)
     return _solve_jit(system, opts, prob, U_init)
 
 
