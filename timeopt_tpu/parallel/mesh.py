@@ -31,9 +31,8 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from timeopt_tpu.models.base import Problem, System
-from timeopt_tpu.ops.linalg import psd_inv, sym
 from timeopt_tpu.solver.horizon import LFTElements, lft_elements, lft_prefix_scan
-from timeopt_tpu.solver.ilqr import SolveOptions, _solve_traced, default_U_init
+from timeopt_tpu.solver.ilqr import SolveOptions, _solve_traced
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_names=("dp",), shape=None) -> Mesh:
@@ -83,10 +82,11 @@ def solve_batch_sharded(
         if mesh is not None:
             U_inits = jax.device_put(U_inits, NamedSharding(mesh, P(axis)))
 
-    fn = jax.jit(
-        lambda p, u: jax.vmap(lambda pp, uu: _solve_traced(system, opts, pp, uu))(p, u)
-    )
-    return fn(probs, U_inits)
+    # reuse the module-level jitted batch entry (a fresh lambda here would
+    # miss the jit cache on every call); jit propagates the input shardings
+    from timeopt_tpu.solver.ilqr import _solve_batch_jit
+
+    return _solve_batch_jit(system, opts, probs, U_inits)
 
 
 def propagator_select_sharded(

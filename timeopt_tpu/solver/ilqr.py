@@ -32,7 +32,7 @@ from timeopt_tpu.solver.augmented import (
     build_terminal_factors,
 )
 from timeopt_tpu.solver.backward import backward_truncated
-from timeopt_tpu.solver.cost import argmin_T, cost_true, nominal_cost_curve, rollout
+from timeopt_tpu.solver.cost import argmin_T, rollout
 from timeopt_tpu.solver.forward import forward_linesearch
 from timeopt_tpu.solver.horizon import bruteforce_J_curve, propagator_select
 from timeopt_tpu.solver.linearize import linearize

@@ -12,7 +12,6 @@ locating hot phases; use the fused solver for throughput.
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Optional
 
 import jax
