@@ -112,10 +112,13 @@ def _select_curve(system: System, prob: Problem, opts: SolveOptions, X, U, A, B)
             terminal = build_terminal_blocks(prob, Xh, rho_reg=opts.rho_reg, s=blocks.s)
         # J(T) carries the s_0^2 factor of the homogeneous scaling
         j_scale = blocks.s[0] ** 2
+        # NOTE: the Pallas df32 path implies a single jitter level (its df32
+        # robustness replaces the psd_levels ladder) — do NOT gate on
+        # psd_levels here: on TPU+f32 the XLA fallback is numerically wrong,
+        # so any eligible configuration must reach the kernel.
         if (
             opts.use_pallas
             and opts.scan_mode == "sequential"
-            and opts.psd_levels == 1
             and opts.terminal_mode == "factored"
         ):
             # custom_vmap path: under a problem-batch vmap on TPU the whole
