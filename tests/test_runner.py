@@ -64,3 +64,19 @@ def test_plots(suite_outdir):
     for f in ["paper_main.png", "boxplot_cost_ratio.png", "boxplot_runtime_ratio.png",
               "boxplot_T_star.png"]:
         assert os.path.exists(os.path.join(suite_outdir, f))
+
+
+def test_trajectory_plot(tmp_path):
+    pytest.importorskip("matplotlib")
+    out = tmp_path / "traj"
+    suite_main([
+        "--outdir", str(out), "--trials", "2", "--max-iter", "4",
+        "--cases", "DoubleIntegrator", "--solvers", "ourmethod",
+        "--save-trajectories",
+    ])
+    npz = out / "DoubleIntegrator" / "trajectories_ourmethod.npz"
+    assert npz.exists()
+    fig = plot_mod.plot_trajectories(
+        {"ourmethod": str(npz)}, "DoubleIntegrator", str(out)
+    )
+    assert os.path.exists(fig)

@@ -139,3 +139,55 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def plot_trajectories(npz_paths_by_solver, case_name, outdir, trial=0, T_stars=None):
+    """Per-case state/control trajectory figure comparing solvers
+    (reference counterpart: plot_trajectories in the legacy monolith,
+    /root/reference/ilqr_propagator.py:727-757). `npz_paths_by_solver` maps
+    solver name -> trajectories_<solver>.npz written by the runner's
+    --save-trajectories flag."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    data = {}
+    for solver, path in npz_paths_by_solver.items():
+        z = np.load(path)
+        data[solver] = dict(
+            X=z["X"][trial], U=z["U"][trial], T=int(z["T_star"][trial])
+        )
+    any_d = next(iter(data.values()))
+    n = any_d["X"].shape[1]
+    m = any_d["U"].shape[1]
+    styles = {
+        "ourmethod": dict(color="#2E86AB", linestyle="-", linewidth=2.2),
+        "baseline2": dict(color="#A23B72", linestyle="--", linewidth=2.2),
+        "baseline1": dict(color="#F18F01", linestyle="-.", linewidth=1.8),
+    }
+    rows = max(n, m)
+    fig, axes = plt.subplots(rows, 2, figsize=(11, 2.2 * rows), squeeze=False)
+    for i in range(n):
+        ax = axes[i][0]
+        for solver, d in data.items():
+            T = d["T"]
+            ax.plot(np.arange(T + 1), d["X"][: T + 1, i],
+                    label=solver, **styles.get(solver, {}))
+        ax.set_ylabel(f"x_{i+1}")
+        ax.grid(True, alpha=0.3)
+    for j in range(m):
+        ax = axes[j][1]
+        for solver, d in data.items():
+            T = d["T"]
+            ax.step(np.arange(T), d["U"][:T, j], where="post",
+                    label=solver, **styles.get(solver, {}))
+        ax.set_ylabel(f"u_{j+1}")
+        ax.grid(True, alpha=0.3)
+    axes[0][0].legend(fontsize=8)
+    fig.suptitle(case_name)
+    fig.tight_layout()
+    out = os.path.join(outdir, f"{case_name}_trajectories.png")
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+    return out
