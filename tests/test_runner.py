@@ -80,3 +80,14 @@ def test_trajectory_plot(tmp_path):
         {"ourmethod": str(npz)}, "DoubleIntegrator", str(out)
     )
     assert os.path.exists(fig)
+
+
+def test_per_solve_timing(tmp_path):
+    out = tmp_path / "persolve"
+    suite_main([
+        "--outdir", str(out), "--trials", "2", "--max-iter", "3",
+        "--cases", "DoubleIntegrator", "--solvers", "ourmethod",
+        "--timing", "per-solve",
+    ])
+    df = pd.read_csv(os.path.join(out, "summary_all.csv"))
+    assert (df["total_time"] > 0).all()
