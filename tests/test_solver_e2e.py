@@ -139,3 +139,30 @@ def test_pointmass_extra_cost_solve():
     for cx, cy, r, _ in OBSTACLES:
         d = np.sqrt((X[:, 0] - cx) ** 2 + (X[:, 1] - cy) ** 2)
         assert d.min() > 0.2 * r
+
+
+def test_option_variants_agree():
+    """inverse-terminal, unscaled, and FD-linearized variants all find the
+    same horizon on the tiny problem."""
+    system, prob = tiny_double_integrator()
+    base = solve(system, prob, options=SolveOptions(method="propagator", max_iter=6))
+    for opts in (
+        SolveOptions(method="propagator", max_iter=6, terminal_mode="inverse"),
+        SolveOptions(method="propagator", max_iter=6, homogeneous_scaling=False),
+        SolveOptions(method="propagator", max_iter=6, use_pallas=False),
+        SolveOptions(method="propagator", max_iter=6, psd_levels=1),
+    ):
+        r = solve(system, prob, options=opts)
+        assert int(r.T_star) == int(base.T_star), opts
+        np.testing.assert_allclose(float(r.J_star), float(base.J_star), rtol=1e-5)
+
+
+def test_onepass_preimage_modes():
+    system, prob = tiny_double_integrator()
+    for mode in ("fixedpoint", "newton", "copy"):
+        r = solve(
+            system, prob,
+            options=SolveOptions(method="onepass", max_iter=4, S_window=4,
+                                 onepass_preimage=mode),
+        )
+        assert np.isfinite(float(r.J_star)), mode
