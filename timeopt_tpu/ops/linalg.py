@@ -99,7 +99,7 @@ def _ladder(fn, A: jax.Array, jitter: float, levels: int):
         eps = jnp.asarray(jitter * (1e4**lv), A.dtype)
         nxt = fn(A + eps * I)
         ok = jnp.all(jnp.isfinite(out), axis=(-2, -1), keepdims=True)
-        out = jnp.where(ok, jnp.where(ok, out, 0.0), nxt)
+        out = jnp.where(ok, out, nxt)
     return out
 
 
