@@ -119,3 +119,22 @@ def test_lft_compose_is_associative(rng):
     right = lft_compose(a, lft_compose(b, c))
     for l, r in zip(left, right):
         np.testing.assert_allclose(np.asarray(l), np.asarray(r), rtol=1e-8, atol=1e-9)
+
+
+def test_consistency_check_utility():
+    """User-facing consistency metric (reference consistency_max_abs/rmse):
+    near-zero for the factored propagator on a solved trajectory."""
+    from tests.helpers import tiny_double_integrator
+    from timeopt_tpu.solver.ilqr import SolveOptions, solve
+    from timeopt_tpu.solver.verify import consistency_check
+
+    system, prob = tiny_double_integrator()
+    res = solve(system, prob, options=SolveOptions(method="propagator", max_iter=6))
+    # reference-parity configuration (bf regularized at 1e-6): difference is
+    # the regularization itself, same ~4e-4 scale the reference publishes
+    out = consistency_check(system, prob, res.X, res.U)
+    assert float(out["max_abs"]) < 2e-3
+    assert float(out["rmse"]) <= float(out["max_abs"])
+    # regularization-free: the factored propagator is exact
+    tight = consistency_check(system, prob, res.X, res.U, lm_lambda=0.0)
+    assert float(tight["max_abs"]) < 1e-4  # ~40x below the reference's published delta
