@@ -37,6 +37,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: repeat bench invocations skip the ~60 s
+    # first-call compile
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/timeopt_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from timeopt_tpu.models import get_system
     from timeopt_tpu.ops.wrap import wrap_error
     from timeopt_tpu.solver.ilqr import (
