@@ -13,8 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from timeopt_tpu.models.base import Problem, System, make_problem
-from timeopt_tpu.ops.wrap import angle_normalize
+from timeopt_tpu.models.base import Problem, System, euler_step_fn, make_problem
 
 DT = 0.02
 G = 9.81
@@ -29,22 +28,17 @@ TOTAL_MASS = M_EFF + M_BODY
 POLEMASS_LENGTH = M_BODY * L_BODY
 
 
-def step(x: jax.Array, u: jax.Array) -> jax.Array:
-    x_pos, x_dot, th, th_dot = x[0], x[1], x[2], x[3]
+def xdot(x: jax.Array, u: jax.Array) -> jax.Array:
+    x_dot, th, th_dot = x[1], x[2], x[3]
     force = u[0] / R_BALL
     s, c = jnp.sin(th), jnp.cos(th)
     temp = (force + POLEMASS_LENGTH * th_dot * th_dot * s) / TOTAL_MASS
     th_acc = (G * s - c * temp) / (L_BODY * (4.0 / 3.0 - M_BODY * c * c / TOTAL_MASS))
     x_acc = temp - POLEMASS_LENGTH * th_acc * c / TOTAL_MASS
-    return jnp.stack(
-        [
-            x_pos + DT * x_dot,
-            x_dot + DT * x_acc,
-            angle_normalize(th + DT * th_dot),
-            th_dot + DT * th_acc,
-        ]
-    )
+    return jnp.stack([x_dot, x_acc, th_dot, th_acc])
 
+
+step = euler_step_fn(xdot, DT, wrap_idx=(2,))
 
 SYSTEM = System(
     name="Ballbot_Balance",
@@ -52,6 +46,8 @@ SYSTEM = System(
     m=1,
     dt=DT,
     step=step,
+    xdot=xdot,
+    wrap_idx=(2,),
     sigma_x0=(0.02, 0.02, 0.02, 0.02),
     sigma_xg=(0.0, 0.0, 0.0, 0.0),
 )

@@ -31,6 +31,10 @@ from timeopt_tpu.ops.wrap import wrap_mask_from_idx
 
 # step: (x, u) -> x_next, pure jnp, shape (n,), (m,) -> (n,)
 StepFn = Callable[[jax.Array, jax.Array], jax.Array]
+# xdot: (x, u) -> continuous-time state derivative, shape (n,)
+XdotFn = Callable[[jax.Array, jax.Array], jax.Array]
+# guard: (x, u) -> () bool, True when the state/control is invalid (poisoned)
+GuardFn = Callable[[jax.Array, jax.Array], jax.Array]
 # extra stage cost: (x, u) -> scalar c (value; gradient/Hessian via AD)
 ExtraCostFn = Callable[[jax.Array, jax.Array], jax.Array]
 
@@ -75,6 +79,19 @@ class System:
     dt: float
     step: StepFn = dataclasses.field(compare=False)
     extra_cost: Optional[ExtraCostFn] = dataclasses.field(default=None, compare=False)
+    # Continuous-time derivative: step(x,u) == wrap(x + dt*xdot(x,u)) (+ guard
+    # poisoning). Optional; when present it enables the compensated df32
+    # forward rollout (solver/rollout_df.py) — in f32, integrating native
+    # increments in hi/lo double-single form injects per-step noise
+    # O(eps*|dt*xdot|) instead of O(eps*|x|), which is what keeps long
+    # nonlinear rollouts (cartpole swing-up, N=360) on the f64 trajectory.
+    xdot: Optional[XdotFn] = dataclasses.field(default=None, compare=False)
+    # Invalid-state predicate poisoned to NaN inside step (e.g. the
+    # quadrotor's Euler-singularity / divergence guards —
+    # /root/reference/systems.py:165-191).
+    guard: Optional[GuardFn] = dataclasses.field(default=None, compare=False)
+    # State components step() angle-normalizes into (-pi, pi].
+    wrap_idx: tuple = ()
     # default perturbation sigmas for benchmark trials
     # (reference: /root/reference/run_suite.py:69-74)
     sigma_x0: tuple = ()
@@ -90,6 +107,35 @@ class System:
             jnp.sqrt(jnp.sum(jnp.square(xn))) > max_state_norm
         )
         return xn + jnp.where(bad, jnp.asarray(jnp.nan, xn.dtype), jnp.asarray(0.0, xn.dtype))
+
+
+def euler_step_fn(
+    xdot: XdotFn,
+    dt: float,
+    wrap_idx: tuple = (),
+    guard: Optional[GuardFn] = None,
+) -> StepFn:
+    """Build the canonical discrete step every benchmark system uses:
+    x+ = x + dt*xdot(x,u), selected components angle-normalized, optional
+    guard predicate poisoning the result to NaN (reference pattern:
+    /root/reference/systems.py:28-348 — each `make_*` closure hand-writes
+    this composition). Arithmetic is element-for-element identical to the
+    hand-written forms, so f64 trajectories are bit-stable across the
+    refactor."""
+    from timeopt_tpu.ops.wrap import angle_normalize
+
+    def step(x: jax.Array, u: jax.Array) -> jax.Array:
+        xn = x + dt * xdot(x, u)
+        for i in wrap_idx:
+            xn = xn.at[i].set(angle_normalize(xn[i]))
+        if guard is not None:
+            bad = guard(x, u)
+            xn = xn + jnp.where(
+                bad, jnp.asarray(jnp.nan, xn.dtype), jnp.asarray(0.0, xn.dtype)
+            )
+        return xn
+
+    return step
 
 
 def make_problem(

@@ -13,8 +13,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from timeopt_tpu.models.base import Problem, System, make_problem
-from timeopt_tpu.ops.wrap import angle_normalize
+from timeopt_tpu.models.base import Problem, System, euler_step_fn, make_problem
 
 DT = 0.02
 G = 9.81
@@ -25,8 +24,8 @@ TOTAL_MASS = M_CART + M_POLE
 POLEMASS_LENGTH = M_POLE * LENGTH
 
 
-def step(x: jax.Array, u: jax.Array) -> jax.Array:
-    x_pos, x_dot, th, th_dot = x[0], x[1], x[2], x[3]
+def xdot(x: jax.Array, u: jax.Array) -> jax.Array:
+    x_dot, th, th_dot = x[1], x[2], x[3]
     force = u[0]
 
     th_u = th - math.pi
@@ -39,15 +38,10 @@ def step(x: jax.Array, u: jax.Array) -> jax.Array:
     th_acc = (G * sinth - costh * temp) / denom
     x_acc = temp - POLEMASS_LENGTH * th_acc * costh / TOTAL_MASS
 
-    return jnp.stack(
-        [
-            x_pos + DT * x_dot,
-            x_dot + DT * x_acc,
-            angle_normalize(th + DT * th_dot),
-            th_dot + DT * th_acc,
-        ]
-    )
+    return jnp.stack([x_dot, x_acc, th_dot, th_acc])
 
+
+step = euler_step_fn(xdot, DT, wrap_idx=(2,))
 
 SYSTEM = System(
     name="Cartpole_SwingUp",
@@ -55,6 +49,8 @@ SYSTEM = System(
     m=1,
     dt=DT,
     step=step,
+    xdot=xdot,
+    wrap_idx=(2,),
     sigma_x0=(0.0, 0.0, 0.0, 0.0),
     sigma_xg=(0.0, 0.0, 0.0, 0.0),
 )

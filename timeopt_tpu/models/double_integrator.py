@@ -9,15 +9,16 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from timeopt_tpu.models.base import Problem, System, make_problem
+from timeopt_tpu.models.base import Problem, System, euler_step_fn, make_problem
 
 DT = 0.05
 
 
-def step(x: jax.Array, u: jax.Array) -> jax.Array:
-    pos, vel = x[0], x[1]
-    return jnp.stack([pos + DT * vel, vel + DT * u[0]])
+def xdot(x: jax.Array, u: jax.Array) -> jax.Array:
+    return jnp.stack([x[1], u[0]])
 
+
+step = euler_step_fn(xdot, DT)
 
 SYSTEM = System(
     name="DoubleIntegrator",
@@ -25,6 +26,7 @@ SYSTEM = System(
     m=1,
     dt=DT,
     step=step,
+    xdot=xdot,
     sigma_x0=(0.2, 0.2),
     sigma_xg=(0.0, 0.0),
 )

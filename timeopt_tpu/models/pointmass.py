@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from timeopt_tpu.models.base import Problem, System, make_problem
+from timeopt_tpu.models.base import Problem, System, euler_step_fn, make_problem
 
 DT = 0.05
 
@@ -30,10 +30,11 @@ _RADII = jnp.asarray([o[2] for o in OBSTACLES])
 _WEIGHTS = jnp.asarray([o[3] for o in OBSTACLES])
 
 
-def step(x: jax.Array, u: jax.Array) -> jax.Array:
-    px, py, vx, vy = x[0], x[1], x[2], x[3]
-    ax, ay = u[0], u[1]
-    return jnp.stack([px + DT * vx, py + DT * vy, vx + DT * ax, vy + DT * ay])
+def xdot(x: jax.Array, u: jax.Array) -> jax.Array:
+    return jnp.stack([x[2], x[3], u[0], u[1]])
+
+
+step = euler_step_fn(xdot, DT)
 
 
 def obstacle_cost(x: jax.Array, u: jax.Array) -> jax.Array:
@@ -50,6 +51,7 @@ SYSTEM = System(
     m=2,
     dt=DT,
     step=step,
+    xdot=xdot,
     extra_cost=obstacle_cost,
     sigma_x0=(0.1, 0.1, 0.0, 0.0),
     sigma_xg=(0.0, 0.0, 0.0, 0.0),

@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from timeopt_tpu.models.base import Problem, System, make_problem
+from timeopt_tpu.models.base import Problem, System, euler_step_fn, make_problem
 
 DT = 0.05
 MASS = 1.0
@@ -63,7 +63,7 @@ def _euler_rate_matrix(phi, th):
     )
 
 
-def step(x: jax.Array, u: jax.Array) -> jax.Array:
+def xdot(x: jax.Array, u: jax.Array) -> jax.Array:
     vel = x[3:6]
     phi, th, psi = x[6], x[7], x[8]
     omg = x[9:12]
@@ -79,18 +79,22 @@ def step(x: jax.Array, u: jax.Array) -> jax.Array:
     eulerdot = _euler_rate_matrix(phi, th).astype(x.dtype) @ omg
     omgdot = (tau - jnp.cross(omg, inertia * omg)) / inertia - KW * omg
 
-    xdot = jnp.concatenate([vel, acc, eulerdot, omgdot])
-    xn = x + DT * xdot
+    return jnp.concatenate([vel, acc, eulerdot, omgdot])
 
-    bad = (
+
+def guard(x: jax.Array, u: jax.Array) -> jax.Array:
+    th = x[7]
+    omg = x[9:12]
+    return (
         (~jnp.all(jnp.isfinite(x)))
         | (~jnp.all(jnp.isfinite(u)))
         | (jnp.sqrt(jnp.sum(jnp.square(x))) > STATE_NORM_MAX)
         | (jnp.abs(jnp.cos(th)) < COS_PITCH_MIN)
         | jnp.any(jnp.abs(omg) > OMG_ABS_MAX)
     )
-    return xn + jnp.where(bad, jnp.asarray(jnp.nan, x.dtype), jnp.asarray(0.0, x.dtype))
 
+
+step = euler_step_fn(xdot, DT, guard=guard)
 
 SYSTEM = System(
     name="Quadrotor",
@@ -98,6 +102,8 @@ SYSTEM = System(
     m=4,
     dt=DT,
     step=step,
+    xdot=xdot,
+    guard=guard,
     sigma_x0=(0.4, 0.4, 0.4) + (0.0,) * 9,
     sigma_xg=(0.0,) * 12,
 )

@@ -11,8 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from timeopt_tpu.models.base import Problem, System, make_problem
-from timeopt_tpu.ops.wrap import angle_normalize
+from timeopt_tpu.models.base import Problem, System, euler_step_fn, make_problem
 
 DT = 0.02
 G = 9.81
@@ -33,20 +32,15 @@ B_TAU = -_A2 / (R_WHEEL * _DEN) + _A1 / _DEN
 B_TH = (_A1 * M_PEND * G * L_PEND) / _DEN
 
 
-def step(x: jax.Array, u: jax.Array) -> jax.Array:
-    x_pos, x_dot, th, th_dot = x[0], x[1], x[2], x[3]
+def xdot(x: jax.Array, u: jax.Array) -> jax.Array:
+    x_dot, th, th_dot = x[1], x[2], x[3]
     tau = u[0]
     xdd = A_TAU * tau + A_TH * th
     thdd = B_TAU * tau + B_TH * th
-    return jnp.stack(
-        [
-            x_pos + DT * x_dot,
-            x_dot + DT * xdd,
-            angle_normalize(th + DT * th_dot),
-            th_dot + DT * thdd,
-        ]
-    )
+    return jnp.stack([x_dot, xdd, th_dot, thdd])
 
+
+step = euler_step_fn(xdot, DT, wrap_idx=(2,))
 
 SYSTEM = System(
     name="Segway_Balance",
@@ -54,6 +48,8 @@ SYSTEM = System(
     m=1,
     dt=DT,
     step=step,
+    xdot=xdot,
+    wrap_idx=(2,),
     sigma_x0=(0.02, 0.02, 0.02, 0.02),
     sigma_xg=(0.0, 0.0, 0.0, 0.0),
 )

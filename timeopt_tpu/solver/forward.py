@@ -68,11 +68,17 @@ def forward_linesearch(
     kappa: jax.Array,
     T_star: jax.Array,
     alphas=(1.0, 0.5, 0.25, 0.1, 0.05),
+    df_forward: bool = False,
 ) -> LinesearchResult:
+    if df_forward:
+        from timeopt_tpu.solver.rollout_df import rollout_with_gains_df as _roll
+    else:
+        _roll = rollout_with_gains
+
     J_old = cost_true(system, prob, X, U, T_star)
 
     def try_alpha(a):
-        Xn, Un = rollout_with_gains(system, prob, X, U, K, kappa, T_star, a)
+        Xn, Un = _roll(system, prob, X, U, K, kappa, T_star, a)
         # reference rejects an alpha whose rollout goes non-finite anywhere
         # on [0, N], even beyond T* (/root/reference/solver.py:267-280)
         finite = jnp.all(jnp.isfinite(Xn))

@@ -58,10 +58,27 @@ class SolveOptions:
     homogeneous_scaling: bool = True  # balance augmented blocks (fp32-critical)
     use_pallas: bool = True  # fused Pallas prefix-scan kernel under batch vmap on TPU
     psd_levels: int = 2
-    q_reg: float = 1e-9
+    # Stage-cost diagonal regularization for the information-form propagator
+    # (E = Q_aug^-1 must exist even when Q has zero rows, e.g. cartpole's
+    # unweighted theta). None -> dtype-aware: 1e-9 in f64, 1e-5 in f32 —
+    # kappa(Q_aug) ~ max(Q)/q_reg must stay within the arithmetic's reach
+    # (df32 eps ~ 4e-15: q_reg 1e-9 leaves the cartpole J(T) curve wrong by
+    # up to 54x and picks T*~100 instead of 129/181, reproducing the round-1
+    # TPU failure; 1e-5 restores the f64 argmin and perturbs J by < 0.6%,
+    # measured q_reg-insensitive in f64 up to 1e-4).
+    q_reg: Optional[float] = None
     rho_reg: float = 1e-12
     rel_tol: float = 1e-4
     onepass_preimage: str = "fixedpoint"  # "fixedpoint" | "newton" | "copy"
+    # Compensated df32 forward rollouts (solver/rollout_df.py): "auto" turns
+    # them on for f32 problems on systems exposing `xdot` — required for
+    # trajectory-level f32 accuracy on long nonlinear horizons (cartpole).
+    df_forward: str = "auto"  # "auto" | "on" | "off"
+    # Optional dtype override for the selection curve (e.g. "float64" to run
+    # an f32 solve with an f64 selection on CPU hosts, where plain-f32 XLA
+    # selection is numerically wrong and the df32 Pallas kernels are
+    # TPU-only). None: selection runs in the problem dtype.
+    select_dtype: Optional[str] = None
 
 
 @struct.dataclass
@@ -96,14 +113,58 @@ def _tree_select(pred, on_true, on_false):
     return jax.tree.map(lambda a, b: jnp.where(pred, a, b), on_true, on_false)
 
 
+def _df_on(system: System, opts: SolveOptions, dtype) -> bool:
+    """Resolve the df_forward mode statically (trace-time)."""
+    if opts.df_forward == "off":
+        return False
+    from timeopt_tpu.solver.rollout_df import supports_df
+
+    if opts.df_forward == "on":
+        if not supports_df(system):
+            raise ValueError(f"df_forward='on' but system {system.name} has no xdot")
+        return True
+    return supports_df(system) and dtype == jnp.float32
+
+
+def resolve_q_reg(opts: SolveOptions, dtype) -> float:
+    """Dtype-aware q_reg default (see SolveOptions.q_reg). TPU "f64" is
+    double-f32 emulation (~47 mantissa bits, same class as df32), so it gets
+    the low-precision default too — measured: cartpole f64-on-TPU with
+    q_reg=1e-9 selects T*=77 instead of 181."""
+    if opts.q_reg is not None:
+        return opts.q_reg
+    if dtype == jnp.float64 and not _on_tpu():
+        return 1e-9
+    return 1e-5
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def _select_curve(system: System, prob: Problem, opts: SolveOptions, X, U, A, B):
     """Method-specific J(T) selection curve over T = 1..T_max."""
+    if opts.select_dtype is not None:
+        sd = jnp.dtype(opts.select_dtype)
+        if sd != X.dtype:
+            cast = lambda t: jax.tree.map(  # noqa: E731
+                lambda a: a.astype(sd) if jnp.issubdtype(a.dtype, jnp.floating) else a, t
+            )
+            opts_inner = dataclasses.replace(opts, select_dtype=None)
+            curve = _select_curve(
+                system, cast(prob), opts_inner, cast(X), cast(U), cast(A), cast(B)
+            )
+            return curve.astype(X.dtype)
     Tm = prob.T_max
     Xh, Uh, Ah, Bh = X[: Tm + 1], U[:Tm], A[:Tm], B[:Tm]
     if opts.method == "propagator":
         blocks = build_augmented(
             system, prob, Xh, Uh, Ah, Bh,
-            q_reg=opts.q_reg, rho_reg=opts.rho_reg, psd_levels=opts.psd_levels,
+            q_reg=resolve_q_reg(opts, X.dtype), rho_reg=opts.rho_reg,
+            psd_levels=opts.psd_levels,
             scale=opts.homogeneous_scaling,
         )
         if opts.terminal_mode == "factored":
@@ -152,8 +213,13 @@ def _solve_curve_methods(
     """Shared solve path for the propagator and brute-force methods."""
     dtype = U_init.dtype
     i32 = jnp.int32
+    df_on = _df_on(system, opts, dtype)
+    if df_on:
+        from timeopt_tpu.solver.rollout_df import rollout_df
 
-    X = rollout(system, prob, prob.x0, U_init)
+        X = rollout_df(system, prob, prob.x0, U_init)
+    else:
+        X = rollout(system, prob, prob.x0, U_init)
     U = U_init
     A, B = linearize(system.step, X, U, opts.linearize_mode)
 
@@ -165,7 +231,7 @@ def _solve_curve_methods(
     lm0 = jnp.asarray(opts.lm_init, dtype)
     bw = backward_truncated(system, prob, A, B, X, U, T_bar, lm0)
     ls = forward_linesearch(
-        system, prob, X, U, bw.K, bw.kappa, T_bar, alphas=opts.alphas
+        system, prob, X, U, bw.K, bw.kappa, T_bar, alphas=opts.alphas, df_forward=df_on
     )
     warm_ok = bw.ok & jnp.isfinite(ls.J)
     X = jnp.where(bw.ok, ls.X, X)
@@ -200,7 +266,15 @@ def _solve_curve_methods(
 
         bw = backward_truncated(system, prob, A, B, s.X, s.U, T_star, s.lm)
         ls = forward_linesearch(
-            system, prob, s.X, s.U, bw.K, bw.kappa, T_star, alphas=opts.alphas
+            system,
+            prob,
+            s.X,
+            s.U,
+            bw.K,
+            bw.kappa,
+            T_star,
+            alphas=opts.alphas,
+            df_forward=df_on,
         )
         acc = bw.ok & ls.accepted & jnp.isfinite(ls.J)
 
@@ -297,11 +371,7 @@ def solve(
     # On TPU, f32 must go through the df32 Pallas kernels (the plain-f32 XLA
     # path is numerically wrong for the propagator recursion) — the kernels
     # sit behind the batching rule, so route a single solve as a batch of 1.
-    try:
-        on_tpu = jax.devices()[0].platform == "tpu"
-    except Exception:
-        on_tpu = False
-    if on_tpu and prob.x0.dtype == jnp.float32 and opts.use_pallas:
+    if _on_tpu() and prob.x0.dtype == jnp.float32 and opts.use_pallas:
         probs = jax.tree.map(lambda x: x[None], prob)
         res = _solve_batch_jit(system, opts, probs, U_init[None])
         return jax.tree.map(lambda x: x[0], res)

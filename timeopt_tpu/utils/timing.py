@@ -27,7 +27,7 @@ from timeopt_tpu.solver.backward import backward_truncated
 from timeopt_tpu.solver.cost import argmin_T, rollout
 from timeopt_tpu.solver.forward import forward_linesearch
 from timeopt_tpu.solver.horizon import bruteforce_J_curve, propagator_select
-from timeopt_tpu.solver.ilqr import SolveOptions, default_U_init
+from timeopt_tpu.solver.ilqr import SolveOptions, default_U_init, resolve_q_reg
 from timeopt_tpu.solver.linearize import linearize
 
 
@@ -54,7 +54,8 @@ def profile_solve(
         if opts.method == "propagator":
             blocks = build_augmented(
                 system, prob, Xh, Uh, Ah, Bh,
-                q_reg=opts.q_reg, rho_reg=opts.rho_reg, psd_levels=opts.psd_levels,
+                q_reg=resolve_q_reg(opts, X.dtype), rho_reg=opts.rho_reg,
+                psd_levels=opts.psd_levels,
                 scale=opts.homogeneous_scaling,
             )
             if opts.terminal_mode == "factored":
