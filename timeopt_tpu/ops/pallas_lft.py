@@ -273,21 +273,17 @@ def propagator_select_lanes(
 # =============================================================================
 
 
-def _df_select_kernel(
-    a_ref, q_ref, brb_ref, c_ref, j_ref, cEh, cEl, cFh, cFl, cGh, cGl, *, jitter, t_min
+def _df_select_step(
+    Ak, Qk, BRBk, Ck, j_ref, cEh, cEl, cFh, cFl, cGh, cGl, *, jitter, t_min
 ):
-    """Per grid step (i, k): build the LFT element for step k from the
-    streamed augmented blocks, compose it onto the VMEM-resident prefix, and
-    (for horizons T = k+1 >= t_min) evaluate the factored terminal query —
-    all in double-single (df32) arithmetic (fp32 alone corrupts the J(T)
-    argmin; see timeopt_tpu/ops/df32.py)."""
+    """Shared per-step body of the df32 select kernels: build the LFT element
+    for step k from the (p, p, bt) augmented blocks, compose it onto the
+    VMEM-resident prefix, and (for horizons T = k+1 >= t_min) evaluate the
+    factored terminal query — all in double-single (df32) arithmetic (fp32
+    alone corrupts the J(T) argmin; see timeopt_tpu/ops/df32.py)."""
     from timeopt_tpu.ops import df32 as dfm
 
     k = pl.program_id(1)
-    Ak = a_ref[0]
-    Qk = q_ref[0]
-    BRBk = brb_ref[0]
-    Ck = c_ref[0]  # (n, p, bt), terminal factor for T = k+1
     p = Ak.shape[0]
     n = Ck.shape[0]
     b = Ak.shape[-1]
@@ -344,6 +340,17 @@ def _df_select_kernel(
         j_ref[0, 0, :] = jnp.full((b,), jnp.inf, Ak.dtype)
 
 
+def _df_select_kernel(
+    a_ref, q_ref, brb_ref, c_ref, j_ref, cEh, cEl, cFh, cFl, cGh, cGl, *, jitter, t_min
+):
+    """df32 select on pre-assembled augmented blocks (legacy entry; the
+    fused kernel below assembles the blocks in-kernel)."""
+    _df_select_step(
+        a_ref[0], q_ref[0], brb_ref[0], c_ref[0], j_ref,
+        cEh, cEl, cFh, cFl, cGh, cGl, jitter=jitter, t_min=t_min,
+    )
+
+
 def propagator_select_lanes_df(
     A_aug: jax.Array,
     B_aug: jax.Array,
@@ -392,4 +399,131 @@ def propagator_select_lanes_df(
         scratch_shapes=scratch,
         interpret=interpret,
     )(At, Qt, BRBt, Ct)
+    return jnp.transpose(out[:, 0, :], (1, 0))
+
+
+# =============================================================================
+# Kernel 4 (default): fused assembly + double-single select.
+# The (B, N, p, p) augmented blocks are never materialized: XLA pads the
+# minor (13, 13) dims to (16, 128) tiles, so each such array costs ~10.7x
+# its logical bytes in HBM traffic — assembling Q_aug/A_aug/BRB/C in-kernel
+# from the raw (n,)-sized inputs removes ~6-10 padded tensors per select.
+# =============================================================================
+
+
+def _df_select_fused_kernel(
+    a_ref, b_ref, vec_ref, scal_ref, qq_ref, rinv_ref, lt_ref,
+    j_ref, cEh, cEl, cFh, cFl, cGh, cGl, *, jitter, t_min,
+):
+    """Assemble the step-k augmented blocks from raw inputs (same arithmetic
+    as solver/augmented.py build_augmented + build_terminal_factors, f32 —
+    input assembly rounding is measured harmless, unlike the recursion), then
+    run the shared df32 select step.
+
+    Refs: a (1,n,n,bt) dynamics Jacobian; b (1,n,m,bt); vec (1,4,n,bt) rows
+    [e_k, e_{k+1}, atil_k, Q e_k]; scal (1,4,bt) rows [corner_k, 1/s_k,
+    s_{k+1}, 1/s_{k+1}]; qq (n,n,bt) = sym(Q) + q_reg I; rinv (m,m,bt);
+    lt (n,n,bt) = chol(Qf + rho I)' (upper)."""
+    Ak = a_ref[0]  # (n, n, bt)
+    Bk = b_ref[0]  # (n, m, bt)
+    e_next = vec_ref[0, 1]  # (n, bt)
+    atil = vec_ref[0, 2]
+    Qe = vec_ref[0, 3]
+    corner = scal_ref[0, 0]  # (bt,)
+    inv_sk = scal_ref[0, 1]
+    s_kp1 = scal_ref[0, 2]
+    inv_skp1 = scal_ref[0, 3]
+    Qq = qq_ref[...]
+    Rinv = rinv_ref[...]
+    Lt = lt_ref[...]
+    n = Ak.shape[0]
+    b = Ak.shape[-1]
+    dtype = Ak.dtype
+
+    # Q_aug = [[Qq, Qe/s_k], [Qe'/s_k, corner/s_k^2]]  (p, p, bt)
+    Qe_s = Qe * inv_sk[None, :]
+    q_top = jnp.concatenate([Qq, Qe_s[:, None, :]], axis=1)  # (n, p, bt)
+    q_bot = jnp.concatenate(
+        [Qe_s[None, :, :], (corner * inv_sk * inv_sk)[None, None, :]], axis=1
+    )  # (1, p, bt)
+    Q_aug = jnp.concatenate([q_top, q_bot], axis=0)
+
+    # A_aug = [[A, atil/s_k], [0, s_{k+1}/s_k]]
+    a_top = jnp.concatenate([Ak, (atil * inv_sk[None, :])[:, None, :]], axis=1)
+    a_bot = jnp.concatenate(
+        [jnp.zeros((1, n, b), dtype), (s_kp1 * inv_sk)[None, None, :]], axis=1
+    )
+    A_aug = jnp.concatenate([a_top, a_bot], axis=0)
+
+    # BRB = [[B R^-1 B', 0], [0, 0]]
+    BR = _mm(Bk, Rinv)  # (n, m, bt)
+    brb_n = _mm_a_bt(BR, Bk)  # (n, n, bt)
+    zcol = jnp.zeros((n, 1, b), dtype)
+    zrow = jnp.zeros((1, n + 1, b), dtype)
+    BRB = jnp.concatenate([jnp.concatenate([brb_n, zcol], axis=1), zrow], axis=0)
+
+    # C = [Lt, (Lt e_{k+1})/s_{k+1}]  (n, p, bt)
+    Le = _mm(Lt, e_next[:, None, :])  # (n, 1, bt)
+    Ck = jnp.concatenate([Lt, Le * inv_skp1[None, None, :]], axis=1)
+
+    _df_select_step(
+        A_aug, Q_aug, BRB, Ck, j_ref, cEh, cEl, cFh, cFl, cGh, cGl,
+        jitter=jitter, t_min=t_min,
+    )
+
+
+def propagator_select_lanes_df_fused(
+    A: jax.Array,
+    Bm: jax.Array,
+    vecs: jax.Array,
+    scal: jax.Array,
+    Qq: jax.Array,
+    R_inv: jax.Array,
+    Lt: jax.Array,
+    *,
+    jitter: float = 1e-9,
+    block_b: int = 128,
+    t_min: int = 1,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused-assembly df32 propagator selection, batch-leading layout.
+
+    A: (B, N, n, n); Bm: (B, N, n, m); vecs: (B, N, 4, n) rows
+    [e_k, e_{k+1}, atil_k, Q e_k]; scal: (B, N, 4) rows [corner, 1/s_k,
+    s_{k+1}, 1/s_{k+1}]; Qq: (B, n, n); R_inv: (B, m, m); Lt: (B, n, n).
+    Returns J: (B, N) with +inf below t_min."""
+    At = jnp.transpose(A, (1, 2, 3, 0))  # (N, n, n, B)
+    Bt = jnp.transpose(Bm, (1, 2, 3, 0))
+    Vt = jnp.transpose(vecs, (1, 2, 3, 0))  # (N, 4, n, B)
+    St = jnp.transpose(scal, (1, 2, 0))  # (N, 4, B)
+    Qqt = jnp.transpose(Qq, (1, 2, 0))  # (n, n, B)
+    Rt = jnp.transpose(R_inv, (1, 2, 0))
+    Ltt = jnp.transpose(Lt, (1, 2, 0))
+
+    N, n, _, B = At.shape
+    m = Bt.shape[2]
+    p = n + 1
+    assert B % block_b == 0, (B, block_b)
+    grid = (B // block_b, N)
+
+    aspec = pl.BlockSpec((1, n, n, block_b), lambda i, k: (k, 0, 0, i), memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, n, m, block_b), lambda i, k: (k, 0, 0, i), memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, 4, n, block_b), lambda i, k: (k, 0, 0, i), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, 4, block_b), lambda i, k: (k, 0, i), memory_space=pltpu.VMEM)
+    # k-constant blocks: index map ignores k, so the pipeline fetches once
+    cst = pl.BlockSpec((n, n, block_b), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM)
+    rspec = pl.BlockSpec((m, m, block_b), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM)
+    jspec = pl.BlockSpec((1, 1, block_b), lambda i, k: (k, 0, i), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_df_select_fused_kernel, jitter=jitter, t_min=t_min)
+    scratch = [pltpu.VMEM((p, p, block_b), At.dtype) for _ in range(6)]
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[aspec, bspec, vspec, sspec, cst, rspec, cst],
+        out_specs=jspec,
+        out_shape=jax.ShapeDtypeStruct((N, 1, B), At.dtype),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(At, Bt, Vt, St, Qqt, Rt, Ltt)
     return jnp.transpose(out[:, 0, :], (1, 0))

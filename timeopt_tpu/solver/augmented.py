@@ -125,6 +125,65 @@ def build_augmented(
     return AugmentedBlocks(A_aug=A_aug, B_aug=B_aug, Q_aug=Q_aug, R_inv=R_inv, s=s)
 
 
+class FusedInputs(NamedTuple):
+    """Raw per-step inputs for the fused-assembly select kernel
+    (ops/pallas_lft.py propagator_select_lanes_df_fused). Everything here is
+    (N, n)-sized or smaller — the (N, p, p) augmented blocks are assembled
+    in-kernel, avoiding ~10x tile-padded HBM traffic for (B, N, 13, 13)
+    intermediates."""
+
+    A: jax.Array  # (N, n, n)
+    B: jax.Array  # (N, n, m)
+    vecs: jax.Array  # (N, 4, n): [e_k, e_{k+1}, atil_k, Q e_k]
+    scal: jax.Array  # (N, 4): [corner_k, 1/s_k, s_{k+1}, 1/s_{k+1}]
+    Qq: jax.Array  # (n, n) = sym(Q) + q_reg I
+    R_inv: jax.Array  # (m, m)
+    Lt: jax.Array  # (n, n) = chol(Qf + rho I)' (upper)
+    s: jax.Array  # (N+1,) homogeneous scales (J carries s_0^2)
+
+
+def build_fused_inputs(
+    system: System,
+    prob: Problem,
+    X: jax.Array,
+    U: jax.Array,
+    A: jax.Array,
+    B: jax.Array,
+    *,
+    q_reg: float = 1e-9,
+    rho_reg: float = 1e-12,
+    psd_levels: int = 2,
+    scale: bool = True,
+) -> FusedInputs:
+    """Same arithmetic as build_augmented + build_terminal_factors, stopping
+    at the raw ingredients (requires system.extra_cost is None — extra stage
+    costs make the Q block step-dependent and take the assembled path)."""
+    assert system.extra_cost is None
+    N, n = U.shape[0], prob.n
+    dtype = X.dtype
+
+    e = wrap_error(X[:-1] - prob.xg, prob.wrap_mask)  # (N, n)
+    en = wrap_error(X[1:] - prob.xg, prob.wrap_mask)  # (N, n)
+    du = U - prob.u_ref
+    a = jax.vmap(system.step)(X[:-1], U) - X[1:]
+    atil = a - jnp.einsum("knm,km->kn", B, du)
+    Qe = e @ prob.Q.T
+    corner = jnp.einsum("ki,kj,ij->k", e, e, prob.Q) + 2.0 * prob.w + rho_reg
+
+    Qq = sym(prob.Q) + q_reg * jnp.eye(n, dtype=dtype)
+    R_inv = psd_inv(prob.R, levels=psd_levels)
+    P = sym(prob.Qf) + rho_reg * jnp.eye(n, dtype=dtype)
+    Lt = jnp.swapaxes(chol_lower(P), -1, -2)
+
+    if scale:
+        s = homogeneous_scales(prob, X)
+    else:
+        s = jnp.ones((N + 1,), dtype=dtype)
+    scal = jnp.stack([corner, 1.0 / s[:N], s[1:], 1.0 / s[1:]], axis=1)
+    vecs = jnp.stack([e, en, atil, Qe], axis=1)  # (N, 4, n)
+    return FusedInputs(A=A, B=B, vecs=vecs, scal=scal, Qq=Qq, R_inv=R_inv, Lt=Lt, s=s)
+
+
 def build_terminal_factors(
     prob: Problem, X: jax.Array, *, rho_reg: float = 1e-12, s: jax.Array = None
 ) -> jax.Array:

@@ -343,3 +343,74 @@ def _make_select_cv(t_min: int):
 
 def propagator_select_cv(A_aug, B_aug, Q_aug, R_inv, C, t_min: int = 1):
     return _make_select_cv(int(t_min))(A_aug, B_aug, Q_aug, R_inv, C)
+
+
+def _assemble_from_fused(A, Bm, vecs, scal, Qq, R_inv, Lt):
+    """XLA assembly of the augmented blocks from fused inputs (the unbatched
+    / non-TPU fallback of the fused kernel; same arithmetic as
+    solver/augmented.py build_augmented + build_terminal_factors after
+    scaling)."""
+    e, en, atil, Qe = vecs[:, 0], vecs[:, 1], vecs[:, 2], vecs[:, 3]
+    corner, inv_sk, s_kp1, inv_skp1 = (
+        scal[:, 0], scal[:, 1], scal[:, 2], scal[:, 3],
+    )
+    N, n = e.shape
+    dtype = e.dtype
+
+    Q_aug = jnp.zeros((N, n + 1, n + 1), dtype=dtype)
+    Q_aug = Q_aug.at[:, :n, :n].set(jnp.broadcast_to(Qq, (N, n, n)))
+    Q_aug = Q_aug.at[:, :n, n].set(Qe * inv_sk[:, None])
+    Q_aug = Q_aug.at[:, n, :n].set(Qe * inv_sk[:, None])
+    Q_aug = Q_aug.at[:, n, n].set(corner * inv_sk * inv_sk)
+
+    A_aug = jnp.zeros((N, n + 1, n + 1), dtype=dtype)
+    A_aug = A_aug.at[:, :n, :n].set(A)
+    A_aug = A_aug.at[:, :n, n].set(atil * inv_sk[:, None])
+    A_aug = A_aug.at[:, n, n].set(s_kp1 * inv_sk)
+
+    B_aug = jnp.zeros((N, n + 1, Bm.shape[-1]), dtype=dtype)
+    B_aug = B_aug.at[:, :n, :].set(Bm)
+
+    Le = en @ Lt.T  # (N, n) = Lt e_{k+1}
+    C = jnp.concatenate(
+        [jnp.broadcast_to(Lt, (N, n, n)), (Le * inv_skp1[:, None])[..., None]],
+        axis=-1,
+    )
+    return A_aug, B_aug, Q_aug, C
+
+
+@_functools.lru_cache(maxsize=None)
+def _make_select_fused_cv(t_min: int):
+    """custom_vmap'd fused-assembly selection: under a problem-batch vmap on
+    TPU the raw (n,)-sized inputs go straight into the fused Pallas kernel
+    (block assembly in-kernel — no (B, N, p, p) intermediates in HBM);
+    unbatched / non-TPU falls back to XLA assembly + the XLA select."""
+
+    def impl(A, Bm, vecs, scal, Qq, R_inv, Lt):
+        A_aug, B_aug, Q_aug, C = _assemble_from_fused(A, Bm, vecs, scal, Qq, R_inv, Lt)
+        return _select_impl(A_aug, B_aug, Q_aug, R_inv, C)
+
+    @jax.custom_batching.custom_vmap
+    def cv(A, Bm, vecs, scal, Qq, R_inv, Lt):
+        return impl(A, Bm, vecs, scal, Qq, R_inv, Lt)
+
+    @cv.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = [
+            a if b else jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
+            for a, b in zip(args, in_batched)
+        ]
+        if _pallas_applicable(args[0]):
+            from timeopt_tpu.ops.pallas_lft import propagator_select_lanes_df_fused
+
+            padded, Bb = _pad_batch(list(args))
+            J = propagator_select_lanes_df_fused(*padded, t_min=t_min)[:Bb]
+        else:
+            J = jax.vmap(impl)(*args)
+        return J, True
+
+    return cv
+
+
+def propagator_select_fused_cv(A, Bm, vecs, scal, Qq, R_inv, Lt, t_min: int = 1):
+    return _make_select_fused_cv(int(t_min))(A, Bm, vecs, scal, Qq, R_inv, Lt)

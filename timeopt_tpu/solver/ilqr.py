@@ -161,6 +161,27 @@ def _select_curve(system: System, prob: Problem, opts: SolveOptions, X, U, A, B)
     Tm = prob.T_max
     Xh, Uh, Ah, Bh = X[: Tm + 1], U[:Tm], A[:Tm], B[:Tm]
     if opts.method == "propagator":
+        if (
+            opts.use_pallas
+            and opts.scan_mode == "sequential"
+            and opts.terminal_mode == "factored"
+            and system.extra_cost is None
+        ):
+            # fused-assembly path: the augmented blocks are built inside the
+            # Pallas kernel from raw (n,)-sized inputs (under a batch vmap on
+            # TPU), so no tile-padded (B, N, p, p) intermediates hit HBM.
+            from timeopt_tpu.solver.augmented import build_fused_inputs
+            from timeopt_tpu.solver.horizon import propagator_select_fused_cv
+
+            fi = build_fused_inputs(
+                system, prob, Xh, Uh, Ah, Bh,
+                q_reg=resolve_q_reg(opts, X.dtype), rho_reg=opts.rho_reg,
+                psd_levels=opts.psd_levels, scale=opts.homogeneous_scaling,
+            )
+            return fi.s[0] ** 2 * propagator_select_fused_cv(
+                fi.A, fi.B, fi.vecs, fi.scal, fi.Qq, fi.R_inv, fi.Lt,
+                t_min=prob.T_min,
+            )
         blocks = build_augmented(
             system, prob, Xh, Uh, Ah, Bh,
             q_reg=resolve_q_reg(opts, X.dtype), rho_reg=opts.rho_reg,
