@@ -320,16 +320,22 @@ def onepass_rollout(
     S: int,
     *,
     alphas=(1.0, 0.5, 0.25, 0.1),
+    df: bool = False,
 ):
     """Roll out the one-pass policy u_t = ū_idx + K_idx wrap(x - x̄_idx)
     + α k_idx with idx = (T̄ - T*) + t + S for t < T*, then nominal controls;
-    best-of-alpha by cost (reference solver.py:365-442)."""
+    best-of-alpha by cost (reference solver.py:365-442). `df` switches the
+    state integration to the compensated df32 carry (solver/rollout_df.py)."""
     N = prob.N
     dtype = X_ext.dtype
     t0off = T_bar - T_star + S
     U_orig = U_ext[S:]
     x_start = X_ext[S]
     Lmax = sweep.K.shape[0]
+    if df:
+        from timeopt_tpu.solver.rollout_df import _df_wrap, _wrap_vec, df_step
+
+        wrap_vec = _wrap_vec(system, prob.n)
 
     def roll_one(a):
         def f(x, inp):
@@ -342,7 +348,23 @@ def onepass_rollout(
             xn = system.step(x, u)
             return xn, (xn, u)
 
-        _, (Xtail, Un) = lax.scan(f, x_start, (jnp.arange(N), U_orig))
+        def f_df(carry, inp):
+            xh, xl = carry
+            t, U_t = inp
+            idx = jnp.clip(t0off + t, 0, Lmax - 1)
+            active = t < T_star
+            dh, dl = _df_wrap(xh - X_ext[idx], xl, jnp.asarray(prob.wrap_mask, xh.dtype))
+            du = sweep.K[idx] @ (dh + dl) + a * sweep.kff[idx]
+            u = jnp.where(active, U_ext[idx] + du, U_t)
+            nh, nl = df_step(system, xh, xl, u, norm_guard=False, wrap_vec=wrap_vec)
+            return (nh, nl), (nh, u)
+
+        if df:
+            _, (Xtail, Un) = lax.scan(
+                f_df, (x_start, jnp.zeros_like(x_start)), (jnp.arange(N), U_orig)
+            )
+        else:
+            _, (Xtail, Un) = lax.scan(f, x_start, (jnp.arange(N), U_orig))
         Xn = jnp.concatenate([x_start[None], Xtail], axis=0)
         finite = jnp.all(jnp.isfinite(Xn))
         Jn = cost_true(system, prob, Xn, Un, T_star)
@@ -371,14 +393,20 @@ def solve_onepass(system: System, opts, prob: Problem, U_init: jax.Array):
     from timeopt_tpu.solver.backward import backward_truncated
     from timeopt_tpu.solver.forward import forward_linesearch
     from timeopt_tpu.solver.cost import argmin_T, nominal_cost_curve, rollout
-    from timeopt_tpu.solver.ilqr import SolveResult, _LoopState, _roll3, _tree_select
+    from timeopt_tpu.solver.ilqr import SolveResult, _LoopState, _df_on, _roll3, _tree_select
 
     dtype = U_init.dtype
     i32 = jnp.int32
     S = int(opts.S_window)
     prefix_mode = opts.linearize_mode if opts.linearize_mode == "ad" else "forward"
+    df_on = _df_on(system, opts, dtype)
 
-    X = rollout(system, prob, prob.x0, U_init)
+    if df_on:
+        from timeopt_tpu.solver.rollout_df import rollout_df
+
+        X = rollout_df(system, prob, prob.x0, U_init)
+    else:
+        X = rollout(system, prob, prob.x0, U_init)
     U = U_init
 
     # initial T̄ from the nominal cost curve (reference solver.py:534-537)
@@ -389,7 +417,9 @@ def solve_onepass(system: System, opts, prob: Problem, U_init: jax.Array):
     A, B = linearize(system.step, X, U, opts.linearize_mode)
     lm0 = jnp.asarray(opts.lm_init, dtype)
     bw = backward_truncated(system, prob, A, B, X, U, T_bar, lm0)
-    ls = forward_linesearch(system, prob, X, U, bw.K, bw.kappa, T_bar, alphas=opts.alphas)
+    ls = forward_linesearch(
+        system, prob, X, U, bw.K, bw.kappa, T_bar, alphas=opts.alphas, df_forward=df_on
+    )
     warm_ok = bw.ok & jnp.isfinite(ls.J)
     X = jnp.where(bw.ok, ls.X, X)
     U = jnp.where(bw.ok, ls.U, U)
@@ -449,7 +479,7 @@ def solve_onepass(system: System, opts, prob: Problem, U_init: jax.Array):
             )
             Xc, Uc, Jc, okroll = onepass_rollout(
                 system, prob, X_ext, U_ext, sweep, s.T_bar, T_j, S,
-                alphas=opts.alphas[: min(4, len(opts.alphas))],
+                alphas=opts.alphas[: min(4, len(opts.alphas))], df=df_on,
             )
             acc_j = okroll & (Jc < cur_J_prev)
             take_now = acc_j & (~taken)
@@ -466,7 +496,8 @@ def solve_onepass(system: System, opts, prob: Problem, U_init: jax.Array):
         # fallback fixed-T̄ update (reference :674-701)
         bw_fb = backward_truncated(system, prob, A, B, s.X, s.U, s.T_bar, s.lm)
         ls_fb = forward_linesearch(
-            system, prob, s.X, s.U, bw_fb.K, bw_fb.kappa, s.T_bar, alphas=opts.alphas
+            system, prob, s.X, s.U, bw_fb.K, bw_fb.kappa, s.T_bar,
+            alphas=opts.alphas, df_forward=df_on,
         )
         acc_fb = bw_fb.ok & ls_fb.accepted
 
