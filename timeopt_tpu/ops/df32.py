@@ -214,6 +214,172 @@ def df_gj_solve_elast(A, jitter: float, eye):
     return yh, yl
 
 
+def df_scale_rows(X, s):
+    """Row-scale a df (p, q, b) matrix by a df (p, 1, b) vector: out[i] =
+    X[i] * s[i] (broadcast over q)."""
+    Xh, Xl = X
+    sh, sl = s
+    ph, pe = two_prod(Xh, sh)
+    pe = pe + (Xh * sl + Xl * sh)
+    return quick_two_sum(ph, pe)
+
+
+def df_ldl(A, jitter: float, eye):
+    """Unpivoted LDL' factorization of an SPD df32 (p, p, b) matrix
+    + jitter*I (same pivot sequence as the pivot-free GJ elimination, ~p^3/6
+    of its work). Returns (L, d, inv_d): L unit-lower (p, p, b) df pair
+    (explicit unit diagonal, zero strict upper), d the pivots (p, 1, b) df,
+    inv_d their df reciprocals (p, 1, b).
+
+    Replaces df_gj_inv wherever only the *action* of the inverse is needed:
+    (A+jI)^-1 R = L'^-1 (inv_d * (L^-1 R)), and quadratic forms
+    R'(A+jI)^-1 R = U' (inv_d * U) with U = L^-1 R (df_trisolve_*)."""
+    Ah, Al = A
+    p = Ah.shape[0]
+    # fold the jitter in exactly (see df_gj_inv)
+    jh, jl = two_sum(Ah, jitter * eye)
+    rows = [(jh[i], jl[i] + Al[i]) for i in range(p)]  # each (p, b)
+    zero = jnp.zeros_like(rows[0][0][:1])  # (1, b)
+    one = jnp.ones_like(zero)
+    Lcoef = [[None] * p for _ in range(p)]
+    dh, dl, idh, idl = [], [], [], []
+    for i in range(p):
+        # renormalize the pivot row before it is read p-i times: severe
+        # cancellation (small pivots from large entries, kappa ~ 1e5) leaves
+        # the sloppy lo comparable to hi, which breaks the normalized-input
+        # assumption of df_recip/df_mul
+        rows[i] = two_sum(rows[i][0], rows[i][1])
+        piv = (rows[i][0][i][None, :], rows[i][1][i][None, :])
+        inv_piv = df_recip(piv)
+        dh.append(piv[0])
+        dl.append(piv[1])
+        idh.append(inv_piv[0])
+        idl.append(inv_piv[1])
+        for j in range(i + 1, p):
+            c = two_sum(rows[j][0][i][None, :], rows[j][1][i][None, :])
+            lji = df_mul(c, inv_piv)
+            Lcoef[j][i] = lji
+            # sloppy row update: exact product hi, loose lo accumulation
+            ph, pe = two_prod(lji[0], rows[i][0])
+            pe = pe + (lji[0] * rows[i][1] + lji[1] * rows[i][0])
+            sh, se = two_sum(rows[j][0], -ph)
+            rows[j] = (sh, rows[j][1] - pe + se)
+    Lh_rows, Ll_rows = [], []
+    for j in range(p):
+        hs, ls = [], []
+        for i in range(p):
+            if i < j:
+                hs.append(Lcoef[j][i][0])
+                ls.append(Lcoef[j][i][1])
+            elif i == j:
+                hs.append(one)
+                ls.append(zero)
+            else:
+                hs.append(zero)
+                ls.append(zero)
+        Lh_rows.append(jnp.concatenate(hs, axis=0))
+        Ll_rows.append(jnp.concatenate(ls, axis=0))
+    L = (jnp.stack(Lh_rows, axis=0), jnp.stack(Ll_rows, axis=0))
+    d = (jnp.stack(dh, axis=0), jnp.stack(dl, axis=0))
+    inv_d = (jnp.stack(idh, axis=0), jnp.stack(idl, axis=0))
+    return L, d, inv_d
+
+
+def _df_trisolve_rows(L, rhs_rows):
+    """Forward-substitute L X = RHS for unit-lower df L given the RHS as a
+    list of p df (q, b) rows; returns X rows (list of df (q, b)).
+
+    Right-looking: once x_i is final, all remaining rows update with
+    INDEPENDENT df-FMAs (the left-looking form chains i dependent small ops
+    per row, which stalls the VPU pipeline — measured 30% slower end-to-end
+    despite identical flops)."""
+    Lh, Ll = L
+    p = Lh.shape[0]
+    rows = list(rhs_rows)
+    xs = []
+    for i in range(p):
+        # exact two_sum normalization: under cancellation |lo| can exceed
+        # |hi|, and the normalized x_i is read up to p-1 times
+        xi = two_sum(rows[i][0], rows[i][1])
+        xs.append(xi)
+        for j in range(i + 1, p):
+            lji = (Lh[j, i][None, :], Ll[j, i][None, :])
+            ph, pe = two_prod(lji[0], xi[0])
+            pe = pe + (lji[0] * xi[1] + lji[1] * xi[0])
+            sh, se = two_sum(rows[j][0], -ph)
+            rows[j] = (sh, rows[j][1] - pe + se)
+    return xs
+
+
+def _stack_rows(rows):
+    return (
+        jnp.stack([r[0] for r in rows], axis=0),
+        jnp.stack([r[1] for r in rows], axis=0),
+    )
+
+
+def df_trisolve_unit_lower(L, B):
+    """Solve L X = B, L unit-lower df (p, p, b), B df (p, q, b)."""
+    Bh, Bl = B
+    p = Bh.shape[0]
+    return _stack_rows(_df_trisolve_rows(L, [(Bh[i], Bl[i]) for i in range(p)]))
+
+
+def df_trisolve_unit_lower_bt(L, A):
+    """Solve L X = A' (A df (q, p, b)) without materializing the transpose:
+    RHS row i is A[:, i, :]."""
+    Ah, Al = A
+    p = Ah.shape[1]
+    return _stack_rows(_df_trisolve_rows(L, [(Ah[:, i, :], Al[:, i, :]) for i in range(p)]))
+
+
+def df_trisolve_unit_lower_t(L, B):
+    """Back-substitute L' X = B, L unit-lower df (p, p, b), B df (p, q, b).
+    Right-looking (see _df_trisolve_rows)."""
+    Lh, Ll = L
+    Bh, Bl = B
+    p = Lh.shape[0]
+    rows = [(Bh[i], Bl[i]) for i in range(p)]
+    xs = [None] * p
+    for i in range(p - 1, -1, -1):
+        xi = two_sum(rows[i][0], rows[i][1])
+        xs[i] = xi
+        for j in range(i):
+            # (L')[j, i] = L[i, j]
+            lij = (Lh[i, j][None, :], Ll[i, j][None, :])
+            ph, pe = two_prod(lij[0], xi[0])
+            pe = pe + (lij[0] * xi[1] + lij[1] * xi[0])
+            sh, se = two_sum(rows[j][0], -ph)
+            rows[j] = (sh, rows[j][1] - pe + se)
+    return _stack_rows(xs)
+
+
+# rows-list RHS utilities: build (possibly merged) trisolve right-hand sides
+# without materializing transposes — one L-chain walk serves several RHS
+# matrices at double slab width.
+
+
+def df_rows(B):
+    return [(B[0][i], B[1][i]) for i in range(B[0].shape[0])]
+
+
+def df_rows_bt(A):
+    """Rows of A' without a transpose: row i is A[:, i, :]."""
+    return [(A[0][:, i, :], A[1][:, i, :]) for i in range(A[0].shape[1])]
+
+
+def df_rows_concat(ra, rb):
+    return [
+        (jnp.concatenate([a[0], b[0]], axis=0), jnp.concatenate([a[1], b[1]], axis=0))
+        for a, b in zip(ra, rb)
+    ]
+
+
+def df_trisolve_unit_lower_rows(L, rows):
+    """Solve L X = RHS given RHS as a list of df (q, b) rows."""
+    return _stack_rows(_df_trisolve_rows(L, rows))
+
+
 def df_sym(X):
     h, l = X
     half = 0.5

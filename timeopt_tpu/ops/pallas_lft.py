@@ -290,10 +290,26 @@ def _df_select_step(
     eye_p = _eye_lanes(p, b, Ak.dtype)
     eye_n = _eye_lanes(n, b, Ak.dtype)
 
-    # LFT element for step k (df32)
-    E = dfm.df_gj_inv(dfm.df_mat(Qk), jitter, eye_p)
-    F = dfm.df_matmul_nt(E, dfm.df_mat(Ak))  # E A'
-    G = dfm.df_sym_half(dfm.df_add(dfm.df_matmul(dfm.df_mat(Ak), F), dfm.df_mat(BRBk)))
+    # LFT element for step k (df32) via LDL' of Q_aug — every inverse in the
+    # sweep acts on an SPD matrix, so its action is a unit-lower trisolve +
+    # pivot scaling (~1/4 the df ops of the Gauss-Jordan inverse this
+    # replaced, same unpivoted pivot sequence):
+    #   E = Q^-1 = L'^-1 D^-1 L^-1,  F = E A',  G = A E A' + B R^-1 B'
+    Lq, dq, idq = dfm.df_ldl(dfm.df_mat(Qk), jitter, eye_p)
+    # merged RHS [A' | I]: one L-chain walk at double slab width
+    Z = dfm.df_trisolve_unit_lower_rows(
+        Lq,
+        dfm.df_rows_concat(dfm.df_rows_bt(dfm.df_mat(Ak)), dfm.df_rows(dfm.df_mat(eye_p))),
+    )  # (p, 2p, b) = [L^-1 A' | L^-1]
+    Zs = dfm.df_scale_rows(Z, idq)
+    Z0 = (Z[0][:, :p, :], Z[1][:, :p, :])
+    Z0s = (Zs[0][:, :p, :], Zs[1][:, :p, :])
+    G = dfm.df_sym_half(
+        dfm.df_add(dfm.df_matmul_tn(Z0, Z0s), dfm.df_mat(BRBk))
+    )  # A Q^-1 A' + BRB
+    FE = dfm.df_trisolve_unit_lower_t(Lq, Zs)  # [E A' | E]
+    F = (FE[0][:, :p, :], FE[1][:, :p, :])
+    E = dfm.df_sym_half((FE[0][:, p:, :], FE[1][:, p:, :]))
 
     # Compose unconditionally on the (garbage-at-k==0) carry and select the
     # raw element where k == 0. Branchless on purpose: a predicated write to
@@ -304,12 +320,24 @@ def _df_select_step(
     cE = (cEh[:], cEl[:])
     cF = (cFh[:], cFl[:])
     cG = (cGh[:], cGl[:])
-    W = dfm.df_gj_inv(dfm.df_add(E, cG), jitter, eye_p)
-    F1W = dfm.df_matmul(cF, W)
-    Ec = dfm.df_sym_half(dfm.df_sub(cE, dfm.df_matmul_nt(F1W, cF)))
-    Fc = dfm.df_matmul(F1W, F)
-    WF = dfm.df_matmul(W, F)
-    Gc = dfm.df_sym_half(dfm.df_sub(G, dfm.df_matmul_tn(F, WF)))
+    # W = (E + Ḡ)^-1 = Lw'^-1 Dw^-1 Lw^-1; quadratic/bilinear forms in W
+    # reduce to forward trisolves + row scaling (W itself is never formed):
+    #   Ē - F̄ W F̄' = Ē - U' Dw^-1 U,   U = Lw^-1 F̄'
+    #   F̄ W F_k    = U' Dw^-1 V,       V = Lw^-1 F_k
+    #   G_k - F_k' W F_k = G_k - V' Dw^-1 V
+    Lw, dw, idw = dfm.df_ldl(dfm.df_add(E, cG), jitter, eye_p)
+    # merged RHS [F̄' | F_k]: U = Lw^-1 F̄', V = Lw^-1 F_k in one walk
+    UV = dfm.df_trisolve_unit_lower_rows(
+        Lw, dfm.df_rows_concat(dfm.df_rows_bt(cF), dfm.df_rows(F))
+    )
+    UVs = dfm.df_scale_rows(UV, idw)
+    U2 = (UV[0][:, :p, :], UV[1][:, :p, :])
+    U2s = (UVs[0][:, :p, :], UVs[1][:, :p, :])
+    V2 = (UV[0][:, p:, :], UV[1][:, p:, :])
+    V2s = (UVs[0][:, p:, :], UVs[1][:, p:, :])
+    Ec = dfm.df_sym_half(dfm.df_sub(cE, dfm.df_matmul_tn(U2, U2s)))
+    Fc = dfm.df_matmul_tn(U2s, V2)
+    Gc = dfm.df_sym_half(dfm.df_sub(G, dfm.df_matmul_tn(V2, V2s)))
 
     def sel(a, b):
         return (jnp.where(is0, a[0], b[0]), jnp.where(is0, a[1], b[1]))
@@ -327,13 +355,16 @@ def _df_select_step(
         Cdf = dfm.df_mat(Ck)
         CG = dfm.df_matmul(Cdf, Gp)  # (n, p)
         S = dfm.df_add(dfm.df_mat(eye_n), dfm.df_matmul_nt(CG, Cdf))
-        Sinv = dfm.df_gj_inv(S, 0.0, eye_n)
+        Lsq, dsq, idsq = dfm.df_ldl(S, 0.0, eye_n)
         FCt = dfm.df_matmul_nt(Fp, Cdf)  # (p, n)
-        Z = dfm.df_matmul(FCt, Sinv)
-        X0 = dfm.df_sym_half(dfm.df_sub(Ep, dfm.df_matmul_nt(Z, FCt)))
-        # only (X0^-1)[p-1, p-1] is needed: solve X0 y = e_last
-        y = dfm.df_gj_solve_elast(X0, jitter, eye_p)
-        j_ref[0, 0, :] = 0.5 * (y[0][p - 1, 0, :] + y[1][p - 1, 0, :])
+        # X0 = Ep - FCt S^-1 FCt' = Ep - Vq' Dsq^-1 Vq,  Vq = Lsq^-1 FCt'
+        Vq = dfm.df_trisolve_unit_lower_bt(Lsq, FCt)
+        Vqs = dfm.df_scale_rows(Vq, idsq)
+        X0 = dfm.df_sym_half(dfm.df_sub(Ep, dfm.df_matmul_tn(Vq, Vqs)))
+        # only (X0^-1)[p-1, p-1] = 1/d_p is needed — the last pivot of the
+        # unpivoted LDL' of (X0 + jitter I), reciprocal already computed
+        _, _, idx0 = dfm.df_ldl(X0, jitter, eye_p)
+        j_ref[0, 0, :] = 0.5 * (idx0[0][p - 1, 0, :] + idx0[1][p - 1, 0, :])
 
     @pl.when(k + 1 < t_min)
     def _():
