@@ -69,6 +69,14 @@ class SolveOptions:
     q_reg: Optional[float] = None
     rho_reg: float = 1e-12
     rel_tol: float = 1e-4
+    # Batch-wide early exit: run the outer loop as a `lax.while_loop` that
+    # stops as soon as EVERY problem in the (possibly vmapped) batch is
+    # converged, instead of a fixed `lax.scan` over max_iter with done
+    # lanes masked. Per-problem results are identical (done lanes are frozen
+    # either way — the reference `break`s on the same convergence test,
+    # /root/reference/solver.py:745-753); this only recovers the wall-clock
+    # the reference saves by breaking early.
+    early_exit: bool = True
     onepass_preimage: str = "fixedpoint"  # "fixedpoint" | "newton" | "copy"
     # Compensated df32 forward rollouts (solver/rollout_df.py): "auto" turns
     # them on for f32 problems on systems exposing `xdot` — required for
@@ -111,6 +119,29 @@ class _LoopState(NamedTuple):
 
 def _tree_select(pred, on_true, on_false):
     return jax.tree.map(lambda a, b: jnp.where(pred, a, b), on_true, on_false)
+
+
+def _run_outer_loop(body, state: _LoopState, opts: SolveOptions) -> _LoopState:
+    """Run the outer iteration `body` (a scan-style (state, None) -> (state,
+    None) function whose `done` flag freezes converged state) for at most
+    max_iter steps. With early_exit, a `lax.while_loop` stops as soon as the
+    whole (possibly vmapped) batch is done — the reference `break`s on the
+    same convergence test (/root/reference/solver.py:745-753); results are
+    identical either way because done lanes pass through unchanged."""
+    if opts.early_exit:
+        def wcond(carry):
+            it, s = carry
+            return (it < opts.max_iter) & ~s.done
+
+        def wbody(carry):
+            it, s = carry
+            s, _ = body(s, None)
+            return it + 1, s
+
+        _, state = lax.while_loop(wcond, wbody, (jnp.asarray(0, jnp.int32), state))
+        return state
+    state, _ = lax.scan(body, state, None, length=opts.max_iter)
+    return state
 
 
 def _df_on(system: System, opts: SolveOptions, dtype) -> bool:
@@ -336,7 +367,7 @@ def _solve_curve_methods(
 
         return _tree_select(s.done, s, upd), None
 
-    state, _ = lax.scan(body, state, None, length=opts.max_iter)
+    state = _run_outer_loop(body, state, opts)
 
     return SolveResult(
         X=state.X,

@@ -536,7 +536,9 @@ def solve_onepass(system: System, opts, prob: Problem, U_init: jax.Array):
         upd = upd._replace(done=s.done | conv)
         return _tree_select(s.done, s, upd), None
 
-    state, _ = lax.scan(body, state, None, length=opts.max_iter)
+    from timeopt_tpu.solver.ilqr import _run_outer_loop
+
+    state = _run_outer_loop(body, state, opts)
 
     return SolveResult(
         X=state.X,
