@@ -1,0 +1,90 @@
+"""North-star T*-match measurement: TPU f32 HOP-DDP vs the f64 CPU
+brute-force oracle (the reference's own ground truth — BASELINE.md
+"bit-matched T* selection vs the reference brute-force baseline").
+
+Two-process protocol (the oracle must run in true f64, which exists only on
+CPU; the candidate must run on the real TPU):
+
+    python scripts/oracle_match.py cpu   # writes results/oracle_f64.npz
+    python scripts/oracle_match.py tpu   # writes results/oracle_f32.npz
+    python scripts/oracle_match.py report
+
+Problem set: B=128 quadrotor problems, x0 positions perturbed by
+sigma=0.4 (the reference trial distribution, /root/reference/run_suite.py:72),
+max_iter=12 as in the reference suite.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+B = int(os.environ.get("OM_BATCH", "128"))
+SEED = int(os.environ.get("OM_SEED", "0"))
+OUT = os.path.join(os.path.dirname(__file__), "..", "results")
+
+
+def make_x0s(base_x0):
+    rng = np.random.default_rng(SEED)
+    x0s = np.tile(np.asarray(base_x0, np.float64), (B, 1))
+    x0s[:, :3] += 0.4 * rng.standard_normal((B, 3))
+    return x0s
+
+
+def run(platform):
+    if platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        dtype_name = "float64"
+        method = "bruteforce"
+        fname = "oracle_f64.npz"
+    else:
+        import jax
+
+        dtype_name = "float32"
+        method = "propagator"
+        fname = "oracle_f32.npz"
+
+    import jax.numpy as jnp
+
+    from timeopt_tpu.models import get_system
+    from timeopt_tpu.solver.ilqr import SolveOptions, broadcast_problem, solve_batch
+
+    dtype = jnp.dtype(dtype_name)
+    system, mk = get_system("Quadrotor")
+    base = mk(dtype=dtype)
+    x0s = make_x0s(np.asarray(mk(dtype=jnp.float64).x0, np.float64))
+    probs = broadcast_problem(base, B).replace(x0=jnp.asarray(x0s, dtype))
+    opts = SolveOptions(method=method, max_iter=12, psd_levels=1)
+    res = solve_batch(system, probs, options=opts)
+    T = np.asarray(res.T_star)
+    J = np.asarray(res.J_star)
+    os.makedirs(OUT, exist_ok=True)
+    np.savez(os.path.join(OUT, fname), T=T, J=J)
+    print(f"{platform}: wrote {fname}  T* median {np.median(T)}  J median {np.median(J):.4f}")
+
+
+def report():
+    a = np.load(os.path.join(OUT, "oracle_f64.npz"))
+    b = np.load(os.path.join(OUT, "oracle_f32.npz"))
+    T64, J64 = a["T"], a["J"]
+    T32, J32 = b["T"], b["J"]
+    exact = (T32 == T64).mean()
+    within1 = (np.abs(T32 - T64) <= 1).mean()
+    rel = np.abs(J32 - J64) / np.maximum(np.abs(J64), 1e-12)
+    print(f"B={len(T64)}  T* exact match: {exact:.3f}  within +/-1: {within1:.3f}")
+    print(f"J rel gap: median {np.median(rel):.2e}  max {rel.max():.2e}")
+    mism = np.nonzero(T32 != T64)[0]
+    if len(mism):
+        print(f"mismatches ({len(mism)}): idx {mism[:10]}  dT {(T32-T64)[mism][:10]}")
+        print(f"  their J rel gaps: {rel[mism][:10]}")
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "report"
+    if mode in ("cpu", "tpu"):
+        run(mode)
+    else:
+        report()
