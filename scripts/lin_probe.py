@@ -104,3 +104,57 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def micro():
+    """What inside linearize costs: primal evals vs tangents vs assembly."""
+    system, mk = get_system("Quadrotor")
+    base = mk(dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    n, m, N = base.n, base.m, base.N
+    Xf = jnp.asarray(rng.standard_normal((B, N, n)), jnp.float32) * 0.1
+    Uf = jnp.asarray(rng.standard_normal((B, N, m)), jnp.float32) * 0.1 + base.u_ref
+
+    step2 = lambda x, u: system.step(x, u)
+
+    def primal_only(X, U):
+        f = jax.vmap(jax.vmap(step2))
+        return f(X, U)
+
+    timed("primal step eval (B*N sites)", primal_only, Xf, Uf)
+
+    def primal_x16(X, U):
+        f = jax.vmap(jax.vmap(step2))
+        acc = 0.0
+        for i in range(16):
+            acc = acc + f(X + 1e-6 * i, U)
+        return acc
+
+    timed("16x primal evals", primal_x16, Xf, Uf)
+
+    def jvp16_sum(X, U):
+        f = jax.vmap(jax.vmap(step2))
+        acc = 0.0
+        for i in range(n + m):
+            tx = jnp.zeros((n,), jnp.float32).at[jnp.minimum(i, n - 1)].set(
+                jnp.where(i < n, 1.0, 0.0))
+            tu = jnp.zeros((m,), jnp.float32).at[jnp.minimum(i - n, m - 1)].set(
+                jnp.where(i >= n, 1.0, 0.0))
+            _, d = jax.jvp(f, (X, U), (jnp.broadcast_to(tx, X.shape),
+                                       jnp.broadcast_to(tu, U.shape)))
+            acc = acc + d
+        return acc
+
+    timed("16 jvps, sum-reduced (no stack)", jvp16_sum, Xf, Uf)
+
+    def xdot_jac(X, U):
+        def jac_one(x, u):
+            J = jax.jacfwd(lambda xx: system.xdot(xx, u))(x)
+            return J
+        return jax.vmap(jax.vmap(jac_one))(Xf, Uf)
+
+    timed("jacfwd(xdot) x-only (12 tangents)", xdot_jac, Xf, Uf)
+
+
+if __name__ == "__main__" and os.environ.get("MICRO"):
+    micro()

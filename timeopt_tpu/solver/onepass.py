@@ -28,6 +28,7 @@ Jittability transforms applied:
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -146,35 +147,65 @@ def value_sweep_prefix(
 ) -> SweepResult:
     """Backward sweep for t in [-S, T̄-1] with terminal at T̄ (array index
     i = t + S). Runs over the full static length L = T_max + S with masking.
+
+    Dispatch: the array-level sweep sits behind a custom_vmap — under a
+    problem-batch vmap in f32 the whole batch runs the double-single (df32)
+    lanes implementation (solver/sweep_df.py; plain-f32 value recursions
+    over L ≈ 200-340 steps accumulate enough error to shift the one-pass
+    J by ~0.3% and flip knife-edge outcomes — see docs/DESIGN.md §4);
+    f64 and unbatched calls use the plain implementation below.
     """
     L = prob.T_max + S
-    m = prob.m
-    n = prob.n
     dtype = X_ext.dtype
 
     e, du, lx, lu, l0, Qstage = stage_expansion(
         system, prob, X_ext[: L + 1], U_ext[:L]
     )
-    QfT = sym(prob.Qf)
-    I_m = jnp.eye(m, dtype=dtype)
+    # terminal candidates: eT_i = wrap(x_{i+1} - xg) for every index i
+    # (same values the reference computes inside the loop)
+    eT = wrap_error(X_ext[1 : L + 1] - prob.xg, prob.wrap_mask)  # (L, n)
+    eT_fin = jnp.all(jnp.isfinite(eT), axis=-1)  # (L,)
+    # per-step input-finiteness (reference raises on non-finite inputs)
+    fin_in = (
+        jnp.all(jnp.isfinite(e), axis=-1)
+        & jnp.all(jnp.isfinite(du), axis=-1)
+        & jnp.all(jnp.isfinite(A_ext[:L]), axis=(-2, -1))
+        & jnp.all(jnp.isfinite(B_ext[:L]), axis=(-2, -1))
+    )
     iT = T_bar + S
     lam0 = jnp.maximum(lm_lambda, 1e-12)
 
+    Vxx, Vx, V0, K, kff, okf = _sweep_cv(
+        A_ext[:L], B_ext[:L], lx, lu, l0, Qstage,
+        eT, eT_fin.astype(dtype), fin_in.astype(dtype),
+        sym(prob.Qf), prob.R,
+        iT.astype(dtype), lam0.astype(dtype),
+    )
+    return SweepResult(Vxx=Vxx, Vx=Vx, V0=V0, K=K, kff=kff, ok=okf > 0.5)
+
+
+def _sweep_impl(A, B, lx, lu, l0, Qs, eT, eT_fin, fin_in, QfT, R, iT, lam0):
+    """Unbatched array-level sweep (reference semantics,
+    /root/reference/horizon_selection.py:97-212)."""
+    L, n = eT.shape
+    m = B.shape[-1]
+    dtype = eT.dtype
+    I_m = jnp.eye(m, dtype=dtype)
+
     def f(carry, inp):
         Vx, Vxx, V0, ok = carry
-        i, Ai, Bi, lxi, lui, l0i, Qsi, x_next, ei, dui = inp
+        i, Ai, Bi, lxi, lui, l0i, Qsi, eTi, eTfi, fini = inp
 
-        eT = wrap_error(x_next - prob.xg, prob.wrap_mask)
-        is_term = (i + 1) == iT
-        Vx_in = jnp.where(is_term, prob.Qf @ eT, Vx)
+        is_term = (i + 1).astype(dtype) == iT
+        Vx_in = jnp.where(is_term, QfT @ eTi, Vx)
         Vxx_in = jnp.where(is_term, QfT, Vxx)
-        V0_in = jnp.where(is_term, 0.5 * eT @ (prob.Qf @ eT), V0)
-        ok = ok & jnp.where(is_term, jnp.all(jnp.isfinite(eT)), True)
+        V0_in = jnp.where(is_term, 0.5 * eTi @ (QfT @ eTi), V0)
+        ok = ok * jnp.where(is_term, eTfi, 1.0)
 
         Qx = lxi + Ai.T @ Vx_in
         Qu = lui + Bi.T @ Vx_in
         Qxx = Qsi + Ai.T @ Vxx_in @ Ai
-        Quu = prob.R + Bi.T @ Vxx_in @ Bi
+        Quu = R + Bi.T @ Vxx_in @ Bi
         Qux = Bi.T @ Vxx_in @ Ai
 
         # static LM ladder replacing the reference's x10-up-to-12-tries loop
@@ -195,18 +226,15 @@ def value_sweep_prefix(
         Vxx_new = sym(Qxx - Qux.T @ invQuuQux)
         V0_new = l0i + V0_in - 0.5 * Qu @ invQuuQu
 
-        active = i < iT
+        active = i.astype(dtype) < iT
         step_ok = (
             any_spd
-            & jnp.all(jnp.isfinite(ei))
-            & jnp.all(jnp.isfinite(dui))
-            & jnp.all(jnp.isfinite(Ai))
-            & jnp.all(jnp.isfinite(Bi))
+            & (fini > 0.5)
             & jnp.all(jnp.isfinite(Vx_new))
             & jnp.all(jnp.isfinite(Vxx_new))
             & jnp.isfinite(V0_new)
         )
-        ok = ok & jnp.where(active, step_ok, True)
+        ok = ok * jnp.where(active, step_ok.astype(dtype), 1.0)
 
         Vx_out = jnp.where(active, Vx_new, Vx_in)
         Vxx_out = jnp.where(active, Vxx_new, Vxx_in)
@@ -224,16 +252,38 @@ def value_sweep_prefix(
         jnp.zeros(n, dtype),
         jnp.zeros((n, n), dtype),
         jnp.zeros((), dtype),
-        jnp.asarray(True),
+        jnp.ones((), dtype),
     )
     idx = jnp.arange(L)
     (_, _, _, ok), (Vxx, Vx, V0, K, kff) = lax.scan(
-        f,
-        init,
-        (idx, A_ext[:L], B_ext[:L], lx, lu, l0, Qstage, X_ext[1 : L + 1], e, du),
-        reverse=True,
+        f, init, (idx, A, B, lx, lu, l0, Qs, eT, eT_fin, fin_in), reverse=True
     )
-    return SweepResult(Vxx=Vxx, Vx=Vx, V0=V0, K=K, kff=kff, ok=ok)
+    return Vxx, Vx, V0, K, kff, ok
+
+
+@functools.lru_cache(maxsize=1)
+def _make_sweep_cv():
+    @jax.custom_batching.custom_vmap
+    def cv(A, B, lx, lu, l0, Qs, eT, eT_fin, fin_in, QfT, R, iT, lam0):
+        return _sweep_impl(A, B, lx, lu, l0, Qs, eT, eT_fin, fin_in, QfT, R, iT, lam0)
+
+    @cv.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = [
+            a if b else jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
+            for a, b in zip(args, in_batched)
+        ]
+        if args[0].dtype == jnp.float32:
+            from timeopt_tpu.solver.sweep_df import sweep_lanes_df
+
+            return sweep_lanes_df(*args), (True,) * 6
+        return jax.vmap(_sweep_impl)(*args), (True,) * 6
+
+    return cv
+
+
+def _sweep_cv(*args):
+    return _make_sweep_cv()(*args)
 
 
 # =============================================================================
