@@ -1,105 +1,122 @@
-"""Phase breakdown of the batched quadrotor solve on TPU, with reliable
-timing (scalar host transfer forces completion — block_until_ready is not a
-reliable barrier on the axon remote backend)."""
+"""Per-phase device-time probe for the batched HOP-DDP iteration.
 
+The axon tunnel adds ~28 ms of fixed dispatch+sync overhead per jitted call
+(measured: a trivial X+1 at B=1024 costs the same as a 2048^3 matmul), so
+per-phase wall timing of single calls is meaningless. This probe times each
+phase of the solver iteration body (linearize, select, backward, forward)
+with R in-graph repetitions under one dispatch — a `lax.scan` whose carry
+perturbs the inputs each rep so CSE can't collapse the reps — and reports
+(t(R) - t(0)) / R as the true per-call device time.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/phase_probe.py
+Env: PB (batch, default 1024), REPS (default 8).
+"""
+
+import os
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from timeopt_tpu.models import get_system
-from timeopt_tpu.solver.augmented import build_augmented, build_terminal_factors
 from timeopt_tpu.solver.backward import backward_truncated
-from timeopt_tpu.solver.cost import rollout
+from timeopt_tpu.solver.cost import argmin_T, rollout
 from timeopt_tpu.solver.forward import forward_linesearch
-from timeopt_tpu.solver.horizon import (
-    lft_elements,
-    lft_prefix_scan,
-    propagator_J_curve_factored,
-)
-from timeopt_tpu.solver.ilqr import broadcast_problem, default_U_init
+from timeopt_tpu.solver.ilqr import SolveOptions, _select_curve, broadcast_problem
 from timeopt_tpu.solver.linearize import linearize
 
-B = int(__import__("os").environ.get("PB", "1024"))
+B = int(os.environ.get("PB", "1024"))
+REPS = int(os.environ.get("REPS", "8"))
 
 
-def timed(name, f, *args, reps=3):
-    g = jax.jit(lambda *a: jax.tree.map(lambda x: jnp.sum(jnp.abs(x.astype(jnp.float32))), f(*a)))
-    out = g(*args)
-    float(jax.tree.leaves(out)[0])  # compile+run
+def timed_reps(name, phase, X, U, reps):
+    """phase: (X, U) -> scalar-reducible pytree. Times a scan of `reps`
+    invocations with input perturbation; one device sync at the end."""
+
+    def prog(X, U):
+        def body(c, _):
+            acc, k = c
+            out = phase(X + k * 1e-6, U)
+            s = sum(jnp.sum(leaf.astype(jnp.float32)) for leaf in jax.tree.leaves(out))
+            return (acc + s, k + 1.0), None
+
+        (acc, _), _ = lax.scan(body, (jnp.float32(0.0), jnp.float32(1.0)), None, length=reps)
+        return acc
+
+    jfn = jax.jit(prog, static_argnums=())
+    float(jfn(X, U))  # compile+warm
     ts = []
-    for _ in range(reps):
+    for _ in range(3):
         t0 = time.perf_counter()
-        out = g(*args)
-        for leaf in jax.tree.leaves(out):
-            float(leaf)
+        float(jfn(X, U))
         ts.append(time.perf_counter() - t0)
-    print(f"{name:28s} {min(ts)*1e3:9.1f} ms", flush=True)
+    return min(ts)
 
 
 def main():
-    system, mk = get_system("Quadrotor")
+    system, mk = get_system(os.environ.get("CASE", "Quadrotor"))
     base = mk(dtype=jnp.float32)
     rng = np.random.default_rng(0)
+    n, m, N = base.n, base.m, base.N
     x0s = np.tile(np.asarray(base.x0, np.float32), (B, 1))
     x0s[:, :3] += 0.4 * rng.standard_normal((B, 3)).astype(np.float32)
     probs = broadcast_problem(base, B).replace(x0=jnp.asarray(x0s))
-    print(f"B={B}", flush=True)
+    opts = SolveOptions(max_iter=12)
 
-    U = jax.vmap(default_U_init)(probs) if False else jnp.broadcast_to(
-        probs.u_ref[:, None, :], (B, base.N, 4)
-    )
+    U = jnp.broadcast_to(probs.u_ref[:, None, :], (B, N, m))
+    X = jax.jit(jax.vmap(lambda p, u: rollout(system, p, p.x0, u)))(probs, U)
+    A, Bm = jax.jit(
+        jax.vmap(lambda x, u: linearize(system.step, x, u, "ad"))
+    )(X, U)
+    lm = jnp.full((B,), 1e-3, jnp.float32)
+    print(f"B={B} N={N} reps={REPS}", flush=True)
 
-    vroll = jax.vmap(lambda p, u: rollout(system, p, p.x0, u))
-    X = jax.jit(vroll)(probs, U)
-    timed("rollout", vroll, probs, U)
+    def ph_linearize(Xp, Up):
+        return jax.vmap(lambda x, u: linearize(system.step, x, u, "ad"))(Xp, Up)
 
-    vlin = jax.vmap(lambda x, u: linearize(system.step, x, u, "ad"))
-    A, Bm = jax.jit(vlin)(X, U)
-    timed("linearize(ad)", vlin, X, U)
-
-    Tm = base.T_max
-
-    def vblocks(p, x, u, a, b):
+    def ph_select(Xp, Up):
         return jax.vmap(
-            lambda pp, xx, uu, aa, bb: build_augmented(
-                system, pp, xx[: Tm + 1], uu[:Tm], aa[:Tm], bb[:Tm], psd_levels=1
+            lambda p, x, u, a, b: _select_curve(system, p, opts, x, u, a, b)
+        )(probs, Xp, Up, A, Bm)
+
+    def ph_backward(Xp, Up):
+        Tb = jnp.full((B,), 51, jnp.int32)
+        bw = jax.vmap(
+            lambda p, a, b, x, u, t, l: backward_truncated(system, p, a, b, x, u, t, l)
+        )(probs, A, Bm, Xp, Up, Tb, lm)
+        return (bw.K, bw.kappa)
+
+    def ph_forward(Xp, Up):
+        Tb = jnp.full((B,), 51, jnp.int32)
+        bw = jax.vmap(
+            lambda p, a, b, x, u, t, l: backward_truncated(system, p, a, b, x, u, t, l)
+        )(probs, A, Bm, Xp, Up, Tb, lm)
+        ls = jax.vmap(
+            lambda p, x, u, K, k, t: forward_linesearch(
+                system, p, x, u, K, k, t, alphas=opts.alphas, df_forward=True
             )
-        )(p, x, u, a, b)
+        )(probs, Xp, Up, bw.K, bw.kappa, Tb)
+        return (ls.J, ls.X)
 
-    blocks = jax.jit(vblocks)(probs, X, U, A, Bm)
-    timed("build_augmented", vblocks, probs, X, U, A, Bm)
+    base_t = {}
+    for name, ph in [
+        ("linearize", ph_linearize),
+        ("select", ph_select),
+        ("backward", ph_backward),
+        ("backward+forward", ph_forward),
+    ]:
+        t1 = timed_reps(name, ph, X, U, 1)
+        tR = timed_reps(name, ph, X, U, REPS)
+        per = (tR - t1) / (REPS - 1)
+        base_t[name] = per
+        print(f"{name:20s} per-call {per*1e3:8.2f} ms   (1 rep {t1*1e3:7.1f} ms, {REPS} reps {tR*1e3:7.1f} ms)", flush=True)
 
-    vterm = jax.vmap(lambda p, x, s: build_terminal_factors(p, x[: Tm + 1], s=s))
-    C = jax.jit(vterm)(probs, X, blocks.s)
-    timed("terminal_factors", vterm, probs, X, blocks.s)
-
-    velems = jax.vmap(lambda b: lft_elements(b, psd_levels=1))
-    elems = jax.jit(velems)(blocks)
-    timed("lft_elements", velems, blocks)
-
-    vscan = jax.vmap(lambda e: lft_prefix_scan(e, mode="sequential", psd_levels=1))
-    pre = jax.jit(vscan)(elems)
-    timed("prefix_scan(seq)", vscan, elems)
-
-    vscan_a = jax.vmap(lambda e: lft_prefix_scan(e, mode="associative", psd_levels=1))
-    timed("prefix_scan(assoc)", vscan_a, elems)
-
-    vquery = jax.vmap(lambda p, c: propagator_J_curve_factored(p, c, psd_levels=1))
-    timed("terminal_queries", vquery, pre, C)
-
-    T_star = jnp.full((B,), 51, jnp.int32)
-    vbw = jax.vmap(
-        lambda p, a, b, x, u, t: backward_truncated(system, p, a, b, x, u, t, jnp.float32(1e-3))
-    )
-    bw = jax.jit(vbw)(probs, A, Bm, X, U, T_star)
-    timed("backward", vbw, probs, A, Bm, X, U, T_star)
-
-    vfw = jax.vmap(
-        lambda p, x, u, K, k, t: forward_linesearch(system, p, x, u, K, k, t)
-    )
-    timed("forward_linesearch", vfw, probs, X, U, bw.K, bw.kappa, T_star)
+    fwd = base_t["backward+forward"] - base_t["backward"]
+    tot = base_t["linearize"] + base_t["select"] + base_t["backward"] + fwd
+    print(f"forward (diff)       per-call {fwd*1e3:8.2f} ms")
+    print(f"sum of phases        {tot*1e3:8.2f} ms/iter", flush=True)
 
 
 if __name__ == "__main__":
