@@ -41,6 +41,11 @@ CASES = [
     "Ballbot_Balance",
 ]
 
+# Available via --cases but not in the default suite — mirrors the reference,
+# which ships the obstacle point-mass but leaves it commented out of its case
+# registry (/root/reference/run_suite.py:43).
+EXTRA_CASES = ["PointMass_Navigation"]
+
 SOLVER_METHODS = {
     "ourmethod": "propagator",
     "baseline1": "bruteforce",
@@ -242,8 +247,8 @@ def main(argv=None):
         [c.strip() for c in args.cases.split(",") if c.strip()] if args.cases.strip() else CASES
     )
     for c in cases:
-        if c not in CASES:
-            raise ValueError(f"Unknown case: {c}. Options: {CASES}")
+        if c not in CASES + EXTRA_CASES:
+            raise ValueError(f"Unknown case: {c}. Options: {CASES + EXTRA_CASES}")
 
     dtype = jnp.float32 if args.f32 else jnp.float64
     if not args.f32:
