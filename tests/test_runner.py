@@ -91,3 +91,37 @@ def test_per_solve_timing(tmp_path):
     ])
     df = pd.read_csv(os.path.join(out, "summary_all.csv"))
     assert (df["total_time"] > 0).all()
+
+
+def test_save_jt_curve(tmp_path):
+    """--save-jt writes the reference *_Jt.csv artifact schema (t, J_<method>
+    columns; /root/reference/plots/DoubleIntegrator_Jt.csv) with the
+    propagator and bruteforce curves agreeing and the argmin at the
+    published T*=25; plot_jt renders it."""
+    out = tmp_path / "jt"
+    suite_main([
+        "--outdir", str(out),
+        "--trials", "2",
+        "--max-iter", "6",
+        "--cases", "DoubleIntegrator",
+        "--solvers", "ourmethod,baseline1,baseline2",
+        "--save-jt",
+    ])
+    csv_path = out / "DoubleIntegrator" / "DoubleIntegrator_Jt.csv"
+    assert csv_path.exists()
+    df = pd.read_csv(csv_path)
+    assert list(df.columns) == ["t", "J_propagator", "J_bruteforce", "J_onepass"] or set(
+        df.columns
+    ) == {"t", "J_propagator", "J_bruteforce", "J_onepass"}
+    assert df["t"].iloc[0] == 1
+    Jp = df["J_propagator"].to_numpy(float)
+    Jb = df["J_bruteforce"].to_numpy(float)
+    mask = np.isfinite(Jp) & np.isfinite(Jb)
+    assert mask.any()
+    np.testing.assert_allclose(Jp[mask], Jb[mask], rtol=1e-3, atol=1e-3)
+    # published artifact: argmin t=25, J=6.5444 (reference plots CSV)
+    t_star = int(df["t"][np.nanargmin(Jp)])
+    assert t_star == 25
+    assert abs(np.nanmin(Jp) - 6.5444) < 0.01
+    png = plot_mod.plot_jt(str(csv_path), str(out))
+    assert os.path.exists(png)

@@ -191,3 +191,45 @@ def plot_trajectories(npz_paths_by_solver, case_name, outdir, trial=0, T_stars=N
     fig.savefig(out, dpi=150)
     plt.close(fig)
     return out
+
+
+def plot_jt(csv_path, outdir, case_name=None):
+    """J(T) selection-curve figure from a <case>_Jt.csv written by the
+    runner's --save-jt flag (reference counterpart: the legacy pipeline's
+    *_Jt.png, /root/reference/ilqr_propagator.py:840-856). One curve per
+    method column, argmin of each marked."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import pandas as pd
+
+    df = pd.read_csv(csv_path)
+    if case_name is None:
+        case_name = os.path.basename(csv_path).replace("_Jt.csv", "")
+    styles = {
+        "J_propagator": dict(color="#2E86AB", linestyle="-", linewidth=2.2),
+        "J_onepass": dict(color="#A23B72", linestyle="--", linewidth=2.2),
+        "J_bruteforce": dict(color="#F18F01", linestyle="-.", linewidth=1.8),
+    }
+    fig, ax = plt.subplots(figsize=(7, 4))
+    t = df["t"].to_numpy()
+    for col in df.columns:
+        if col == "t":
+            continue
+        J = df[col].to_numpy(float)
+        ax.plot(t, J, label=col[2:], **styles.get(col, {}))
+        if np.isfinite(J).any():
+            i = int(np.nanargmin(J))
+            ax.plot(t[i], J[i], "o", ms=6,
+                    color=styles.get(col, {}).get("color", "k"))
+    ax.set_xlabel("horizon T")
+    ax.set_ylabel("J(T)")
+    ax.set_title(f"{case_name}: selection curve J(T)")
+    ax.grid(True, alpha=0.3)
+    ax.legend(fontsize=9)
+    fig.tight_layout()
+    out = os.path.join(outdir, f"{case_name}_Jt.png")
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+    return out

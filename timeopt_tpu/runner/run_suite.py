@@ -95,6 +95,7 @@ def run_case(
     timing: str = "amortized",
     dtype=jnp.float64,
     save_trajectories: bool = False,
+    save_jt: bool = False,
     outdir: str = ".",
 ):
     from timeopt_tpu.ops.wrap import wrap_error
@@ -104,6 +105,7 @@ def run_case(
     lin_mode = "central" if use_central_diff else "ad"
 
     rows = []
+    jt_cols = {}
     for solver_name in solvers:
         method = SOLVER_METHODS[solver_name]
         opts = SolveOptions(
@@ -144,6 +146,13 @@ def run_case(
                 X=X, U=np.asarray(res.U), T_star=T, J_star=J,
                 J_hist=np.asarray(res.J_hist), T_hist=np.asarray(res.T_hist),
             )
+        if save_jt:
+            # trial-0 final J(T) curve; non-finite entries (below T_min /
+            # outside the one-pass window) become empty CSV cells — matching
+            # the reference artifact schema (t, J_<method> columns;
+            # /root/reference/ilqr_propagator.py:858-864, plots/*_Jt.csv)
+            curve = np.asarray(res.J_curve[0], float)
+            jt_cols[f"J_{method}"] = np.where(np.isfinite(curve), curve, np.nan)
         xg = np.asarray(probs.xg)
         wrap_mask = np.asarray(base.wrap_mask)
 
@@ -177,6 +186,17 @@ def run_case(
             f"time/solve={np.median(per_trial_times)*1e3:.2f} ms "
             f"success={np.mean([r['success'] for r in rows if r['solver']==solver_name and r['case']==case]):.2f}",
             flush=True,
+        )
+    if save_jt and jt_cols:
+        import pandas as pd
+
+        case_dir = os.path.join(outdir, case)
+        os.makedirs(case_dir, exist_ok=True)
+        T_max = int(base.T_max)
+        data = {"t": np.arange(1, T_max + 1)}
+        data.update(jt_cols)
+        pd.DataFrame(data).to_csv(
+            os.path.join(case_dir, f"{case}_Jt.csv"), index=False
         )
     return rows
 
@@ -236,6 +256,10 @@ def main(argv=None):
         "--save-trajectories", action="store_true",
         help="save per-case solved trajectories (X, U, T*, J*) to <outdir>/<case>/trajectories_<solver>.npz",
     )
+    ap.add_argument(
+        "--save-jt", action="store_true",
+        help="save the trial-0 J(T) selection curve per case/solver to <outdir>/<case>/<case>_Jt.csv (reference plots/*_Jt.csv schema)",
+    )
     args = ap.parse_args(argv)
 
     solvers = [s.strip() for s in args.solvers.split(",") if s.strip()]
@@ -269,6 +293,7 @@ def main(argv=None):
             timing=args.timing,
             dtype=dtype,
             save_trajectories=args.save_trajectories,
+            save_jt=args.save_jt,
             outdir=args.outdir,
         )
         df_case, agg_case = enrich_and_aggregate(pd.DataFrame(rows), solvers)
