@@ -125,3 +125,29 @@ def test_save_jt_curve(tmp_path):
     assert abs(np.nanmin(Jp) - 6.5444) < 0.01
     png = plot_mod.plot_jt(str(csv_path), str(out))
     assert os.path.exists(png)
+
+
+def test_onepass_fallback_and_consistency_columns(tmp_path):
+    """solver_error records one-pass sweep fallbacks (reference returns the
+    exception repr as `onepass_error`, solver.py:764); --consistency adds the
+    legacy summary.csv consistency columns with the published ~1e-4 scale."""
+    out = tmp_path / "cc"
+    suite_main([
+        "--outdir", str(out),
+        "--trials", "2",
+        "--max-iter", "5",
+        "--cases", "DoubleIntegrator",
+        "--solvers", "ourmethod,baseline2",
+        "--consistency",
+    ])
+    df = pd.read_csv(os.path.join(out, "summary_all.csv"))
+    assert "solver_error" in df.columns
+    assert "consistency_max_abs" in df.columns
+    cc = df[(df["trial"] == 0) & (df["solver"] == "ourmethod")]["consistency_max_abs"]
+    assert np.isfinite(cc).all()
+    # reference publishes max|d| 4.3e-4 for DoubleIntegrator
+    # (plots/summary.csv:2); same regularization-dominated scale here
+    assert float(cc.iloc[0]) < 5e-3
+    # healthy double-integrator sweeps never fall back
+    b2 = df[df["solver"] == "baseline2"]["solver_error"]
+    assert b2.isna().all()

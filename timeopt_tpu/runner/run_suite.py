@@ -96,6 +96,7 @@ def run_case(
     dtype=jnp.float64,
     save_trajectories: bool = False,
     save_jt: bool = False,
+    consistency: bool = False,
     outdir: str = ".",
 ):
     from timeopt_tpu.ops.wrap import wrap_error
@@ -137,6 +138,7 @@ def run_case(
         J = np.asarray(res.J_star)
         X = np.asarray(res.X)
         nacc = np.asarray(res.n_accept)
+        nfb = np.asarray(res.n_fallback)
 
         if save_trajectories:
             case_dir = os.path.join(outdir, case)
@@ -153,6 +155,21 @@ def run_case(
             # /root/reference/ilqr_propagator.py:858-864, plots/*_Jt.csv)
             curve = np.asarray(res.J_curve[0], float)
             jt_cols[f"J_{method}"] = np.where(np.isfinite(curve), curve, np.nan)
+        cc_max = cc_rmse = float("nan")
+        if consistency:
+            # propagator vs brute-force J(T) agreement on this solver's
+            # trial-0 final trajectory (legacy pipeline's consistency_max_abs
+            # / consistency_rmse, /root/reference/ilqr_propagator.py:630-643,
+            # published in plots/summary.csv). Meaningful in f64; at f32 the
+            # XLA curves themselves are precision-limited.
+            from timeopt_tpu.solver.verify import consistency_check
+
+            prob0 = jax.tree.map(lambda x: x[0], probs)
+            cc = consistency_check(
+                system, prob0, jnp.asarray(X[0]), jnp.asarray(res.U[0])
+            )
+            cc_max = float(cc["max_abs"])
+            cc_rmse = float(cc["rmse"])
         xg = np.asarray(probs.xg)
         wrap_mask = np.asarray(base.wrap_mask)
 
@@ -176,8 +193,21 @@ def run_case(
                     "final_err": final_err,
                     "success": success,
                     "n_iter": int(nacc[i]),
-                    "solver_error": None,
+                    # one-pass sweep-failure fallback record — the reference
+                    # returns the last exception repr as `onepass_error`
+                    # (/root/reference/solver.py:764); branchless analogue:
+                    # how many iterations used the fixed-T-bar fallback
+                    "solver_error": (
+                        f"sweep_fallback_iters={int(nfb[i])}"
+                        if method == "onepass" and int(nfb[i]) > 0
+                        else None
+                    ),
                     "compile_and_run_s": float(compile_and_run),
+                    **(
+                        {"consistency_max_abs": cc_max, "consistency_rmse": cc_rmse}
+                        if consistency and i == 0
+                        else {}
+                    ),
                 }
             )
         print(
@@ -260,6 +290,10 @@ def main(argv=None):
         "--save-jt", action="store_true",
         help="save the trial-0 J(T) selection curve per case/solver to <outdir>/<case>/<case>_Jt.csv (reference plots/*_Jt.csv schema)",
     )
+    ap.add_argument(
+        "--consistency", action="store_true",
+        help="report propagator-vs-bruteforce J(T) consistency (max|d|, rmse) on each solver's trial-0 final trajectory (legacy summary.csv columns)",
+    )
     args = ap.parse_args(argv)
 
     solvers = [s.strip() for s in args.solvers.split(",") if s.strip()]
@@ -294,6 +328,7 @@ def main(argv=None):
             dtype=dtype,
             save_trajectories=args.save_trajectories,
             save_jt=args.save_jt,
+            consistency=args.consistency,
             outdir=args.outdir,
         )
         df_case, agg_case = enrich_and_aggregate(pd.DataFrame(rows), solvers)

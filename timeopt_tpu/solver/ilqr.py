@@ -100,6 +100,11 @@ class SolveResult:
     T_hist: jax.Array  # (max_iter+1,) accepted horizons, -1-padded
     n_accept: jax.Array  # () int32 number of accepted updates
     lm_final: jax.Array  # () final LM lambda
+    # () int32 — one-pass only: iterations whose value sweep went numerically
+    # bad (ok=False) and fell back to the fixed-T̄ update. The branchless
+    # analogue of the reference's `onepass_error` exception record
+    # (/root/reference/solver.py:674-701, 764); always 0 for curve methods.
+    n_fallback: jax.Array
 
 
 class _LoopState(NamedTuple):
@@ -115,6 +120,7 @@ class _LoopState(NamedTuple):
     J_curve: jax.Array
     J_hist: jax.Array
     T_hist: jax.Array
+    n_fb: jax.Array  # () int32 one-pass sweep-failure fallback count
 
 
 def _tree_select(pred, on_true, on_false):
@@ -309,6 +315,7 @@ def _solve_curve_methods(
         J_curve=J_curve0,
         J_hist=J_hist,
         T_hist=T_hist,
+        n_fb=jnp.asarray(0, i32),
     )
 
     def body(s: _LoopState, _):
@@ -352,6 +359,7 @@ def _solve_curve_methods(
                 lax.dynamic_update_index_in_dim(s.T_hist, T_star, s.n_acc, 0),
                 s.T_hist,
             ),
+            n_fb=s.n_fb,
         )
 
         # convergence: rel dJ < tol AND last three accepted horizons equal
@@ -379,6 +387,7 @@ def _solve_curve_methods(
         T_hist=state.T_hist,
         n_accept=state.n_acc,
         lm_final=state.lm,
+        n_fallback=state.n_fb,
     )
 
 

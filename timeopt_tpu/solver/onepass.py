@@ -490,6 +490,7 @@ def solve_onepass(system: System, opts, prob: Problem, U_init: jax.Array):
         done=jnp.asarray(False),
         J_curve=jnp.full((prob.T_max,), jnp.nan, dtype),
         J_hist=J_hist, T_hist=T_hist,
+        n_fb=jnp.asarray(0, i32),
     )
 
     def body(s, _):
@@ -577,6 +578,7 @@ def solve_onepass(system: System, opts, prob: Problem, U_init: jax.Array):
             T_hist=jnp.where(
                 acc, lax.dynamic_update_index_in_dim(s.T_hist, T_star, s.n_acc, 0), s.T_hist
             ),
+            n_fb=s.n_fb + (~ok_sweep).astype(i32),
         )
         rel = jnp.abs(upd.J_last - upd.J_prev) / (jnp.abs(upd.J_prev) + 1e-12)
         conv = (
@@ -600,4 +602,5 @@ def solve_onepass(system: System, opts, prob: Problem, U_init: jax.Array):
         T_hist=state.T_hist,
         n_accept=state.n_acc,
         lm_final=state.lm,
+        n_fallback=state.n_fb,
     )
