@@ -102,7 +102,7 @@ def main():
     print(f"max |A_lanes - A_current| = {d:.3e}")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("MICRO"):
     main()
 
 
