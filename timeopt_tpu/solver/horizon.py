@@ -19,6 +19,7 @@ as T_max parallel lanes instead of a nested Python loop).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -299,10 +300,7 @@ def _select_impl(A_aug, B_aug, Q_aug, R_inv, C):
     return propagator_J_curve_factored(pre, C, psd_levels=1)
 
 
-import functools as _functools
-
-
-@_functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=None)
 def _make_select_cv(t_min: int):
     """Build the custom_vmap'd selection function for a static T_min.
 
@@ -379,7 +377,7 @@ def _assemble_from_fused(A, Bm, vecs, scal, Qq, R_inv, Lt):
     return A_aug, B_aug, Q_aug, C
 
 
-@_functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=None)
 def _make_select_fused_cv(t_min: int):
     """custom_vmap'd fused-assembly selection: under a problem-batch vmap on
     TPU the raw (n,)-sized inputs go straight into the fused Pallas kernel
