@@ -9,9 +9,11 @@ CPU; the candidate must run on the real TPU):
     python scripts/oracle_match.py tpu   # writes results/oracle_f32.npz
     python scripts/oracle_match.py report
 
-Problem set: B=128 quadrotor problems, x0 positions perturbed by
+Problem set (default): B=128 quadrotor problems, x0 positions perturbed by
 sigma=0.4 (the reference trial distribution, /root/reference/run_suite.py:72),
-max_iter=12 as in the reference suite.
+max_iter=12 as in the reference suite. OM_CASE selects any registered case;
+non-quadrotor cases perturb x0 with the system's per-case sigma_x0 (the
+suite's trial distribution) and write case-suffixed npz files.
 """
 
 import os
@@ -21,13 +23,22 @@ import numpy as np
 
 B = int(os.environ.get("OM_BATCH", "128"))
 SEED = int(os.environ.get("OM_SEED", "0"))
+CASE = os.environ.get("OM_CASE", "Quadrotor")
 OUT = os.path.join(os.path.dirname(__file__), "..", "results")
 
 
-def make_x0s(base_x0):
+def _suffix():
+    return "" if CASE == "Quadrotor" else f"_{CASE}"
+
+
+def make_x0s(base_x0, sigma_x0):
     rng = np.random.default_rng(SEED)
     x0s = np.tile(np.asarray(base_x0, np.float64), (B, 1))
-    x0s[:, :3] += 0.4 * rng.standard_normal((B, 3))
+    if CASE == "Quadrotor":
+        # original protocol (kept for continuity of the committed artifacts)
+        x0s[:, :3] += 0.4 * rng.standard_normal((B, 3))
+    else:
+        x0s += np.asarray(sigma_x0, np.float64) * rng.standard_normal(x0s.shape)
     return x0s
 
 
@@ -39,13 +50,13 @@ def run(platform):
         jax.config.update("jax_enable_x64", True)
         dtype_name = "float64"
         method = "bruteforce"
-        fname = "oracle_f64.npz"
+        fname = f"oracle_f64{_suffix()}.npz"
     else:
         import jax
 
         dtype_name = "float32"
         method = "propagator"
-        fname = "oracle_f32.npz"
+        fname = f"oracle_f32{_suffix()}.npz"
 
     import jax.numpy as jnp
 
@@ -53,9 +64,11 @@ def run(platform):
     from timeopt_tpu.solver.ilqr import SolveOptions, broadcast_problem, solve_batch
 
     dtype = jnp.dtype(dtype_name)
-    system, mk = get_system("Quadrotor")
+    system, mk = get_system(CASE)
     base = mk(dtype=dtype)
-    x0s = make_x0s(np.asarray(mk(dtype=jnp.float64).x0, np.float64))
+    x0s = make_x0s(
+        np.asarray(mk(dtype=jnp.float64).x0, np.float64), system.sigma_x0
+    )
     probs = broadcast_problem(base, B).replace(x0=jnp.asarray(x0s, dtype))
     opts = SolveOptions(method=method, max_iter=12, psd_levels=1)
     res = solve_batch(system, probs, options=opts)
@@ -63,18 +76,18 @@ def run(platform):
     J = np.asarray(res.J_star)
     os.makedirs(OUT, exist_ok=True)
     np.savez(os.path.join(OUT, fname), T=T, J=J)
-    print(f"{platform}: wrote {fname}  T* median {np.median(T)}  J median {np.median(J):.4f}")
+    print(f"{platform} {CASE}: wrote {fname}  T* median {np.median(T)}  J median {np.median(J):.4f}")
 
 
 def report():
-    a = np.load(os.path.join(OUT, "oracle_f64.npz"))
-    b = np.load(os.path.join(OUT, "oracle_f32.npz"))
+    a = np.load(os.path.join(OUT, f"oracle_f64{_suffix()}.npz"))
+    b = np.load(os.path.join(OUT, f"oracle_f32{_suffix()}.npz"))
     T64, J64 = a["T"], a["J"]
     T32, J32 = b["T"], b["J"]
     exact = (T32 == T64).mean()
     within1 = (np.abs(T32 - T64) <= 1).mean()
     rel = np.abs(J32 - J64) / np.maximum(np.abs(J64), 1e-12)
-    print(f"B={len(T64)}  T* exact match: {exact:.3f}  within +/-1: {within1:.3f}")
+    print(f"{CASE}  B={len(T64)}  T* exact match: {exact:.3f}  within +/-1: {within1:.3f}")
     print(f"J rel gap: median {np.median(rel):.2e}  max {rel.max():.2e}")
     mism = np.nonzero(T32 != T64)[0]
     if len(mism):
