@@ -1,0 +1,131 @@
+"""Pure df32 LFT math on lanes-layout arrays.
+
+Shared by two execution strategies with *different* lane mappings:
+
+- the fused Pallas batch kernels (`ops/pallas_lft.py`): BATCH on the lane
+  axis, time as the sequential grid dimension (throughput mode);
+- the XLA associative select (`solver/select_assoc.py`): TIME on the lane
+  axis, prefix composition as a Hillis-Steele tree of depth ceil(log2 N)
+  (latency mode — a single solve lane-parallelizes over its own horizon).
+
+All functions take/return df32 values — (hi, lo) pairs of f32 arrays in
+(rows, cols, lanes) layout — and are pure jnp, so they run identically
+under XLA and inside Pallas kernel bodies (see ops/df32.py for why plain
+f32 is numerically insufficient for this recursion).
+
+Reference semantics: the per-step element and the prefix composition are
+the information-form LFT maps of /root/reference/horizon_selection.py:57-75;
+the factored terminal query is the exact inverse-free re-derivation of
+/root/reference/horizon_selection.py:78-85 (see
+solver/horizon.py:propagator_J_curve_factored).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from timeopt_tpu.ops import df32 as dfm
+
+
+def eye_lanes(p: int, b: int, dtype) -> jax.Array:
+    """(p, p, b) identity broadcast over the lane axis."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (p, p, b), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (p, p, b), 1)
+    return (rows == cols).astype(dtype)
+
+
+def df_lft_element_ldl(Ak, Qk, BRBk, *, jitter: float):
+    """LFT element from augmented blocks, arbitrary (k-varying) Q_aug.
+
+    Ak, Qk, BRBk: f32 (p, p, b). Returns df32 (E, F, G) with
+      E = (Q + jitter I)^-1,  F = E A',  G = A E A' + BRB
+    via an unpivoted LDL' of Q (every inverse acts on an SPD matrix, so its
+    action is a unit-lower trisolve + pivot scaling).
+    """
+    p = Ak.shape[0]
+    b = Ak.shape[-1]
+    eye_p = eye_lanes(p, b, Ak.dtype)
+
+    Lq, _, idq = dfm.df_ldl(dfm.df_mat(Qk), jitter, eye_p)
+    # merged RHS [A' | I]: one L-chain walk at double slab width
+    Z = dfm.df_trisolve_unit_lower_rows(
+        Lq,
+        dfm.df_rows_concat(dfm.df_rows_bt(dfm.df_mat(Ak)), dfm.df_rows(dfm.df_mat(eye_p))),
+    )  # (p, 2p, b) = [L^-1 A' | L^-1]
+    Zs = dfm.df_scale_rows(Z, idq)
+    Z0 = (Z[0][:, :p, :], Z[1][:, :p, :])
+    Z0s = (Zs[0][:, :p, :], Zs[1][:, :p, :])
+    G = dfm.df_sym_half(
+        dfm.df_add(dfm.df_matmul_tn(Z0, Z0s), dfm.df_mat(BRBk))
+    )  # A Q^-1 A' + BRB
+    FE = dfm.df_trisolve_unit_lower_t(Lq, Zs)  # [E A' | E]
+    F = (FE[0][:, :p, :], FE[1][:, :p, :])
+    E = dfm.df_sym_half((FE[0][:, p:, :], FE[1][:, p:, :]))
+    return E, F, G
+
+
+def df_lft_compose(first, second, *, jitter: float):
+    """Associative composition of df32 LFT triples (first, then second):
+
+        W = (E2 + G1 + jitter I)^-1
+        E = E1 - F1 W F1',  F = F1 W F2,  G = G2 - F2' W F2
+
+    (reference prefix recursion, /root/reference/horizon_selection.py:67-75).
+    W is never formed: quadratic/bilinear forms reduce to forward trisolves
+    against the LDL' factor of (E2 + G1) plus pivot row-scaling.
+    """
+    E1, F1, G1 = first
+    E2, F2, G2 = second
+    p = E1[0].shape[0]
+    b = E1[0].shape[-1]
+    eye_p = eye_lanes(p, b, E1[0].dtype)
+
+    #   Ē - F̄ W F̄' = Ē - U' Dw^-1 U,   U = Lw^-1 F̄'
+    #   F̄ W F_k    = U' Dw^-1 V,       V = Lw^-1 F_k
+    #   G_k - F_k' W F_k = G_k - V' Dw^-1 V
+    Lw, _, idw = dfm.df_ldl(dfm.df_add(E2, G1), jitter, eye_p)
+    # merged RHS [F̄' | F_k]: U = Lw^-1 F̄', V = Lw^-1 F_k in one walk
+    UV = dfm.df_trisolve_unit_lower_rows(
+        Lw, dfm.df_rows_concat(dfm.df_rows_bt(F1), dfm.df_rows(F2))
+    )
+    UVs = dfm.df_scale_rows(UV, idw)
+    U2 = (UV[0][:, :p, :], UV[1][:, :p, :])
+    U2s = (UVs[0][:, :p, :], UVs[1][:, :p, :])
+    V2 = (UV[0][:, p:, :], UV[1][:, p:, :])
+    V2s = (UVs[0][:, p:, :], UVs[1][:, p:, :])
+    E = dfm.df_sym_half(dfm.df_sub(E1, dfm.df_matmul_tn(U2, U2s)))
+    F = dfm.df_matmul_tn(U2s, V2)
+    G = dfm.df_sym_half(dfm.df_sub(G2, dfm.df_matmul_tn(V2, V2s)))
+    return E, F, G
+
+
+def df_lft_query_lastpivot(X0, *, jitter: float):
+    """J = 0.5 (X0^-1)[p-1, p-1] = 0.5 / d_p — the last pivot of the
+    unpivoted LDL' of (X0 + jitter I), reciprocal already computed.
+    Returns f32 (b,)."""
+    p = X0[0].shape[0]
+    b = X0[0].shape[-1]
+    eye_p = eye_lanes(p, b, X0[0].dtype)
+    _, _, idx0 = dfm.df_ldl(X0, jitter, eye_p)
+    return 0.5 * (idx0[0][p - 1, 0, :] + idx0[1][p - 1, 0, :])
+
+
+def df_lft_query_factored(prefix, Cdf, *, jitter: float):
+    """Factored terminal query in the generic C-form (C the (n, p, b)
+    terminal factor): S = I + C G C', X0 = E - FC' S^-1 CF',
+    J = 0.5 (X0^-1)[p-1, p-1]. Returns f32 (b,)."""
+    Ep, Fp, Gp = prefix
+    n = Cdf[0].shape[0]
+    b = Ep[0].shape[-1]
+    eye_n = eye_lanes(n, b, Ep[0].dtype)
+
+    CG = dfm.df_matmul(Cdf, Gp)  # (n, p)
+    S = dfm.df_add(dfm.df_mat(eye_n), dfm.df_matmul_nt(CG, Cdf))
+    Lsq, _, idsq = dfm.df_ldl(S, 0.0, eye_n)
+    FCt = dfm.df_matmul_nt(Fp, Cdf)  # (p, n)
+    # X0 = Ep - FCt S^-1 FCt' = Ep - Vq' Dsq^-1 Vq,  Vq = Lsq^-1 FCt'
+    Vq = dfm.df_trisolve_unit_lower_bt(Lsq, FCt)
+    Vqs = dfm.df_scale_rows(Vq, idsq)
+    X0 = dfm.df_sym_half(dfm.df_sub(Ep, dfm.df_matmul_tn(Vq, Vqs)))
+    return df_lft_query_lastpivot(X0, jitter=jitter)

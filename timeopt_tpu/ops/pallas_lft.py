@@ -281,33 +281,11 @@ def _df_select_step(
     (valid for arbitrary, k-varying Q_aug — e.g. extra_stage_cost Taylor
     terms), then compose + query via _df_compose_query. All in double-single
     (df32) arithmetic (fp32 alone corrupts the J(T) argmin; see
-    timeopt_tpu/ops/df32.py)."""
-    from timeopt_tpu.ops import df32 as dfm
+    timeopt_tpu/ops/df32.py). Math shared with the XLA latency-mode select
+    via ops/lft_df.py."""
+    from timeopt_tpu.ops.lft_df import df_lft_element_ldl
 
-    p = Ak.shape[0]
-    b = Ak.shape[-1]
-    eye_p = _eye_lanes(p, b, Ak.dtype)
-
-    # LFT element for step k (df32) via LDL' of Q_aug — every inverse in the
-    # sweep acts on an SPD matrix, so its action is a unit-lower trisolve +
-    # pivot scaling (~1/4 the df ops of the Gauss-Jordan inverse this
-    # replaced, same unpivoted pivot sequence):
-    #   E = Q^-1 = L'^-1 D^-1 L^-1,  F = E A',  G = A E A' + B R^-1 B'
-    Lq, dq, idq = dfm.df_ldl(dfm.df_mat(Qk), jitter, eye_p)
-    # merged RHS [A' | I]: one L-chain walk at double slab width
-    Z = dfm.df_trisolve_unit_lower_rows(
-        Lq,
-        dfm.df_rows_concat(dfm.df_rows_bt(dfm.df_mat(Ak)), dfm.df_rows(dfm.df_mat(eye_p))),
-    )  # (p, 2p, b) = [L^-1 A' | L^-1]
-    Zs = dfm.df_scale_rows(Z, idq)
-    Z0 = (Z[0][:, :p, :], Z[1][:, :p, :])
-    Z0s = (Zs[0][:, :p, :], Zs[1][:, :p, :])
-    G = dfm.df_sym_half(
-        dfm.df_add(dfm.df_matmul_tn(Z0, Z0s), dfm.df_mat(BRBk))
-    )  # A Q^-1 A' + BRB
-    FE = dfm.df_trisolve_unit_lower_t(Lq, Zs)  # [E A' | E]
-    F = (FE[0][:, :p, :], FE[1][:, :p, :])
-    E = dfm.df_sym_half((FE[0][:, p:, :], FE[1][:, p:, :]))
+    E, F, G = df_lft_element_ldl(Ak, Qk, BRBk, jitter=jitter)
 
     _df_compose_query(
         E, F, G, Ck, j_ref, cEh, cEl, cFh, cFl, cGh, cGl,
@@ -318,12 +296,9 @@ def _df_select_step(
 def _df_compose(E, F, G, cEh, cEl, cFh, cFl, cGh, cGl, *, jitter):
     """Compose the step-k LFT element (E, F, G) onto the VMEM-resident df32
     prefix carry; returns the updated prefix (also written back to VMEM)."""
-    from timeopt_tpu.ops import df32 as dfm
+    from timeopt_tpu.ops.lft_df import df_lft_compose
 
     k = pl.program_id(1)
-    p = E[0].shape[0]
-    b = E[0].shape[-1]
-    eye_p = _eye_lanes(p, b, E[0].dtype)
 
     # Compose unconditionally on the (garbage-at-k==0) carry and select the
     # raw element where k == 0. Branchless on purpose: a predicated write to
@@ -334,24 +309,9 @@ def _df_compose(E, F, G, cEh, cEl, cFh, cFl, cGh, cGl, *, jitter):
     cE = (cEh[:], cEl[:])
     cF = (cFh[:], cFl[:])
     cG = (cGh[:], cGl[:])
-    # W = (E + Ḡ)^-1 = Lw'^-1 Dw^-1 Lw^-1; quadratic/bilinear forms in W
-    # reduce to forward trisolves + row scaling (W itself is never formed):
-    #   Ē - F̄ W F̄' = Ē - U' Dw^-1 U,   U = Lw^-1 F̄'
-    #   F̄ W F_k    = U' Dw^-1 V,       V = Lw^-1 F_k
-    #   G_k - F_k' W F_k = G_k - V' Dw^-1 V
-    Lw, dw, idw = dfm.df_ldl(dfm.df_add(E, cG), jitter, eye_p)
-    # merged RHS [F̄' | F_k]: U = Lw^-1 F̄', V = Lw^-1 F_k in one walk
-    UV = dfm.df_trisolve_unit_lower_rows(
-        Lw, dfm.df_rows_concat(dfm.df_rows_bt(cF), dfm.df_rows(F))
-    )
-    UVs = dfm.df_scale_rows(UV, idw)
-    U2 = (UV[0][:, :p, :], UV[1][:, :p, :])
-    U2s = (UVs[0][:, :p, :], UVs[1][:, :p, :])
-    V2 = (UV[0][:, p:, :], UV[1][:, p:, :])
-    V2s = (UVs[0][:, p:, :], UVs[1][:, p:, :])
-    Ec = dfm.df_sym_half(dfm.df_sub(cE, dfm.df_matmul_tn(U2, U2s)))
-    Fc = dfm.df_matmul_tn(U2s, V2)
-    Gc = dfm.df_sym_half(dfm.df_sub(G, dfm.df_matmul_tn(V2, V2s)))
+    # W = (E + Ḡ)^-1 via LDL'; W never formed (see ops/lft_df.df_lft_compose,
+    # the shared math with the XLA latency-mode associative select)
+    Ec, Fc, Gc = df_lft_compose((cE, cF, cG), (E, F, G), jitter=jitter)
 
     def sel(a, b):
         return (jnp.where(is0, a[0], b[0]), jnp.where(is0, a[1], b[1]))
@@ -366,15 +326,10 @@ def _df_compose(E, F, G, cEh, cEl, cFh, cFl, cGh, cGl, *, jitter):
 
 
 def _df_query_lastpivot(X0, j_ref, *, jitter):
-    """J = 0.5 (X0^-1)[p-1, p-1] = 0.5 / d_p — the last pivot of the
-    unpivoted LDL' of (X0 + jitter I), reciprocal already computed."""
-    from timeopt_tpu.ops import df32 as dfm
+    """J = 0.5 (X0^-1)[p-1, p-1] — shared math in ops/lft_df.py."""
+    from timeopt_tpu.ops.lft_df import df_lft_query_lastpivot
 
-    p = X0[0].shape[0]
-    b = X0[0].shape[-1]
-    eye_p = _eye_lanes(p, b, X0[0].dtype)
-    _, _, idx0 = dfm.df_ldl(X0, jitter, eye_p)
-    j_ref[0, 0, :] = 0.5 * (idx0[0][p - 1, 0, :] + idx0[1][p - 1, 0, :])
+    j_ref[0, 0, :] = df_lft_query_lastpivot(X0, jitter=jitter)
 
 
 def _df_compose_query(
@@ -383,27 +338,19 @@ def _df_compose_query(
     """Compose + factored terminal query in the generic C-form (C the
     (n, p) terminal factor): S = I + C G C', X0 = E - FC' S^-1 CF'."""
     from timeopt_tpu.ops import df32 as dfm
+    from timeopt_tpu.ops.lft_df import df_lft_query_factored
 
     k = pl.program_id(1)
-    n = Ck.shape[0]
     b = E[0].shape[-1]
-    eye_n = _eye_lanes(n, b, E[0].dtype)
 
     Ep, Fp, Gp = _df_compose(E, F, G, cEh, cEl, cFh, cFl, cGh, cGl, jitter=jitter)
 
     # horizons below T_min never reach the argmin window — skip their queries
     @pl.when(k + 1 >= t_min)
     def _():
-        Cdf = dfm.df_mat(Ck)
-        CG = dfm.df_matmul(Cdf, Gp)  # (n, p)
-        S = dfm.df_add(dfm.df_mat(eye_n), dfm.df_matmul_nt(CG, Cdf))
-        Lsq, dsq, idsq = dfm.df_ldl(S, 0.0, eye_n)
-        FCt = dfm.df_matmul_nt(Fp, Cdf)  # (p, n)
-        # X0 = Ep - FCt S^-1 FCt' = Ep - Vq' Dsq^-1 Vq,  Vq = Lsq^-1 FCt'
-        Vq = dfm.df_trisolve_unit_lower_bt(Lsq, FCt)
-        Vqs = dfm.df_scale_rows(Vq, idsq)
-        X0 = dfm.df_sym_half(dfm.df_sub(Ep, dfm.df_matmul_tn(Vq, Vqs)))
-        _df_query_lastpivot(X0, j_ref, jitter=jitter)
+        j_ref[0, 0, :] = df_lft_query_factored(
+            (Ep, Fp, Gp), dfm.df_mat(Ck), jitter=jitter
+        )
 
     @pl.when(k + 1 < t_min)
     def _():

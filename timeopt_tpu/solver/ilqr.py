@@ -53,7 +53,11 @@ class SolveOptions:
     S_window: int = 20
     linearize_mode: str = "ad"  # "ad" | "central" | "forward"
     alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.05)
-    scan_mode: str = "sequential"  # LFT prefix scan: "sequential" | "associative"
+    # LFT prefix scan: "sequential" (lowest FLOPs; batch Pallas kernels on
+    # TPU) | "associative" (XLA associative_scan, f64 path) | "assoc_df"
+    # (df32 Hillis-Steele with time on lanes — latency mode for single
+    # solves / small batches, solver/select_assoc.py)
+    scan_mode: str = "sequential"
     terminal_mode: str = "factored"  # "factored" (exact) | "inverse" (reference parity)
     homogeneous_scaling: bool = True  # balance augmented blocks (fp32-critical)
     use_pallas: bool = True  # fused Pallas prefix-scan kernel under batch vmap on TPU
@@ -231,6 +235,21 @@ def _select_curve(system: System, prob: Problem, opts: SolveOptions, X, U, A, B)
             terminal = build_terminal_blocks(prob, Xh, rho_reg=opts.rho_reg, s=blocks.s)
         # J(T) carries the s_0^2 factor of the homogeneous scaling
         j_scale = blocks.s[0] ** 2
+        if opts.scan_mode == "assoc_df":
+            # Latency mode: df32 associative select with TIME on the lane
+            # axis (solver/select_assoc.py) — Hillis-Steele depth ceil(log2 N)
+            # instead of N sequential steps; pure XLA (any backend), df32
+            # throughout, so it satisfies the same precision contract as the
+            # Pallas kernels. Best for single solves / small batches where
+            # the batch-on-lanes kernel would idle most of its 128 lanes.
+            if opts.terminal_mode != "factored":
+                raise ValueError("scan_mode='assoc_df' requires terminal_mode='factored'")
+            from timeopt_tpu.solver.select_assoc import propagator_select_assoc_df
+
+            return j_scale * propagator_select_assoc_df(
+                blocks.A_aug, blocks.B_aug, blocks.Q_aug, blocks.R_inv, terminal,
+                t_min=prob.T_min,
+            )
         # NOTE: the Pallas df32 path implies a single jitter level (its df32
         # robustness replaces the psd_levels ladder) — do NOT gate on
         # psd_levels here: on TPU+f32 the XLA fallback is numerically wrong,
