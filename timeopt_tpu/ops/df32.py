@@ -14,6 +14,15 @@ inside Pallas kernels (VPU vector ops).
 References: Dekker (1971), "A floating-point technique for extending the
 available precision"; the df64 pattern popularized for GPUs by the QD
 library — implemented from the algorithms, tuned for TPU VPU shapes.
+
+Backend caveat: the tricks require every a*b and a-b to round individually.
+True on TPU (XLA-TPU and Mosaic both evaluate a*b - p unfused — measured
+zero residual) and in eager CPU ops, but XLA-*CPU* compilation breaks them:
+LLVM FP contraction fuses a rematerialized multiply into a consumer
+subtract (exact product where the algorithm needs the rounded one),
+collapsing df32 to ~plain-f32 accuracy (measured: df_matmul 2e-14 eager vs
+5e-8 jitted; only --xla_backend_optimization_level=0 restores it). Treat
+compiled-CPU df32 as f32-quality; CPU correctness paths use f64.
 """
 
 from __future__ import annotations

@@ -24,6 +24,19 @@ math the Pallas batch kernels run (plain f32 corrupts the J(T) argmin; see
 ops/df32.py). Pure XLA: works on any backend, under jit and vmap (a batch
 axis simply leads the lanes layout), and in f64 (double-double) for CPU
 oracle tests.
+
+PRECISION CAVEAT (CPU only): XLA's *CPU* backend degrades compiled df32 —
+LLVM FP contraction substitutes an exact FMA product for the rounded
+product Dekker's two_prod depends on whenever the multiply is
+rematerialized into a consumer fusion (measured: df_matmul 2e-14 eager vs
+5e-8 jitted; --xla_backend_optimization_level=0 restores exactness, no
+narrower flag does). So on CPU this path delivers ~f32-quality selection
+for f32 inputs (use select_dtype="float64" there, same policy as the
+TPU-only Pallas kernels) and ~f64-quality for f64 inputs (double-double
+collapses to plain f64 — exactly what the CPU reference path uses anyway).
+On TPU there is no LLVM backend and a*b-p is measured unfused with zero
+residual (docs/DESIGN.md §5): the df32 contract holds on the target
+hardware, validated by scripts/latency_probe.py.
 """
 
 from __future__ import annotations
@@ -65,19 +78,26 @@ def lft_prefix_scan_assoc_df(elems, *, jitter: float = 1e-9):
     selected lanes."""
     N = elems[0][0].shape[-1]
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N), 2)
-    pre = tuple(elems)
-    s = 1
-    while s < N:
+    n_rounds = max(1, (N - 1).bit_length())  # ceil(log2 N)
+
+    def round_body(pre, s):
+        # s is traced (jnp.roll lowers a traced shift to dynamic slices), so
+        # the compose body is traced/compiled ONCE for all log2(N) rounds —
+        # unrolling it made the XLA graph ~log2(N)x larger and blew compile
+        # time past 30 min for the full solve program.
         shifted = tuple(
             (jnp.roll(h, s, axis=-1), jnp.roll(l, s, axis=-1)) for h, l in pre
         )
         comp = df_lft_compose(shifted, pre, jitter=jitter)
         mask = idx >= s
-        pre = tuple(
+        out = tuple(
             (jnp.where(mask, ch, h), jnp.where(mask, cl, l))
             for (ch, cl), (h, l) in zip(comp, pre)
         )
-        s *= 2
+        return out, None
+
+    shifts = jnp.asarray([1 << d for d in range(n_rounds)], jnp.int32)
+    pre, _ = jax.lax.scan(round_body, tuple(elems), shifts)
     return pre
 
 
