@@ -175,41 +175,30 @@ def propagator_select(
 # =============================================================================
 
 
-def value_expansion_V0(
-    system: System,
-    prob: Problem,
-    A: jax.Array,
-    B: jax.Array,
-    X: jax.Array,
-    U: jax.Array,
-    T: jax.Array,
-    *,
-    lm_lambda: float = 1e-6,
-    psd_levels: int = 2,
-) -> jax.Array:
-    """V0(0) of the full quadratic value expansion with terminal at (traced)
-    step T: one masked reverse scan (reference inner loop:
-    /root/reference/solver.py:316-356)."""
-    N, m = U.shape[0], prob.m
-    e, du, lx, lu, l0, Qstage = stage_expansion(system, prob, X, U)
-    QfT = sym(prob.Qf)
-    I_m = jnp.eye(m, dtype=X.dtype)
-    lam = jnp.asarray(lm_lambda, X.dtype)
+def _value_expansion_arrays(
+    A, B, lx, lu, l0, Qstage, eTs, QfT, R, T, *, lm_lambda=1e-6, psd_levels=2
+):
+    """Array-only masked value-expansion scan with terminal at (traced) T
+    (reference inner loop /root/reference/solver.py:316-356).
+    eTs[k] = wrap(x_{k+1} - xg); QfT = sym(Qf)."""
+    N, m = lu.shape
+    dtype = A.dtype
+    I_m = jnp.eye(m, dtype=dtype)
+    lam = jnp.asarray(lm_lambda, dtype)
 
     def f(carry, inp):
         Vx, Vxx, V0 = carry
-        k, Ak, Bk, lxk, luk, l0k, Qsk, x_next = inp
+        k, Ak, Bk, lxk, luk, l0k, Qsk, eT = inp
 
-        eT = wrap_error(x_next - prob.xg, prob.wrap_mask)
         is_term = (k + 1) == T
-        Vx_in = jnp.where(is_term, prob.Qf @ eT, Vx)
+        Vx_in = jnp.where(is_term, QfT @ eT, Vx)
         Vxx_in = jnp.where(is_term, QfT, Vxx)
-        V0_in = jnp.where(is_term, 0.5 * eT @ (prob.Qf @ eT), V0)
+        V0_in = jnp.where(is_term, 0.5 * eT @ (QfT @ eT), V0)
 
         Qx = lxk + Ak.T @ Vx_in
         Qu = luk + Bk.T @ Vx_in
         Qxx = Qsk + Ak.T @ Vxx_in @ Ak
-        Quu = prob.R + Bk.T @ Vxx_in @ Bk
+        Quu = R + Bk.T @ Vxx_in @ Bk
         Qux = Bk.T @ Vxx_in @ Ak
 
         Quu_reg = sym(Quu) + lam * I_m
@@ -227,17 +216,86 @@ def value_expansion_V0(
             jnp.where(active, V0_new, V0_in),
         ), None
 
-    n = prob.n
+    n = A.shape[1]
     init = (
-        jnp.zeros(n, dtype=X.dtype),
-        jnp.zeros((n, n), dtype=X.dtype),
-        jnp.zeros((), dtype=X.dtype),
+        jnp.zeros(n, dtype=dtype),
+        jnp.zeros((n, n), dtype=dtype),
+        jnp.zeros((), dtype=dtype),
     )
     ks = jnp.arange(N)
     (Vx0, Vxx0, V00), _ = lax.scan(
-        f, init, (ks, A, B, lx, lu, l0, Qstage, X[1:]), reverse=True
+        f, init, (ks, A, B, lx, lu, l0, Qstage, eTs), reverse=True
     )
     return V00
+
+
+def value_expansion_V0(
+    system: System,
+    prob: Problem,
+    A: jax.Array,
+    B: jax.Array,
+    X: jax.Array,
+    U: jax.Array,
+    T: jax.Array,
+    *,
+    lm_lambda: float = 1e-6,
+    psd_levels: int = 2,
+) -> jax.Array:
+    """V0(0) of the full quadratic value expansion with terminal at (traced)
+    step T: one masked reverse scan (reference inner loop:
+    /root/reference/solver.py:316-356)."""
+    e, du, lx, lu, l0, Qstage = stage_expansion(system, prob, X, U)
+    eTs = wrap_error(X[1:] - prob.xg, prob.wrap_mask)
+    return _value_expansion_arrays(
+        A, B, lx, lu, l0, Qstage, eTs, sym(prob.Qf), prob.R, T,
+        lm_lambda=lm_lambda, psd_levels=psd_levels,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_bruteforce_cv(lm_lambda: float, psd_levels: int):
+    """custom_vmap'd array-only brute-force curve for static (lm, levels).
+
+    Under a problem-batch vmap on TPU at f32, the whole batch routes through
+    the df32 two-lane-axis implementation (solver/bruteforce_df.py) — the
+    plain-f32 value-expansion recursion is precision-broken exactly like the
+    propagator recursion (round-1 artifact: cartpole baseline1 T_median 232
+    vs the true 181), so baseline1 needs the same df32 treatment to stay the
+    in-suite oracle on-chip. Unbatched / non-TPU falls back to the XLA
+    vmap-over-T path."""
+
+    def impl(A, B, lx, lu, l0, Qs, eTs, QfT, R):
+        Tm = A.shape[0]
+        Ts = jnp.arange(1, Tm + 1)
+        return jax.vmap(
+            lambda T: _value_expansion_arrays(
+                A, B, lx, lu, l0, Qs, eTs, QfT, R, T,
+                lm_lambda=lm_lambda, psd_levels=psd_levels,
+            )
+        )(Ts)
+
+    @jax.custom_batching.custom_vmap
+    def cv(A, B, lx, lu, l0, Qs, eTs, QfT, R):
+        return impl(A, B, lx, lu, l0, Qs, eTs, QfT, R)
+
+    @cv.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = [
+            a if b else jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
+            for a, b in zip(args, in_batched)
+        ]
+        if _pallas_applicable(args[0]):
+            from timeopt_tpu.solver.bruteforce_df import bruteforce_lanes_df
+
+            A, B, lx, lu, l0, Qs, eTs, QfT, R = args
+            J = bruteforce_lanes_df(
+                A, B, lx, lu, l0, Qs, eTs, QfT, R, lm_lambda=lm_lambda
+            )
+        else:
+            J = jax.vmap(impl)(*args)
+        return J, True
+
+    return cv
 
 
 def bruteforce_J_curve(
@@ -252,13 +310,14 @@ def bruteforce_J_curve(
     psd_levels: int = 2,
 ) -> jax.Array:
     """J(T) for all T = 1..T_max — T_max masked value-expansion scans, run as
-    one vmap over the candidate-horizon axis."""
-    Ts = jnp.arange(1, prob.T_max + 1)
-    return jax.vmap(
-        lambda T: value_expansion_V0(
-            system, prob, A, B, X, U, T, lm_lambda=lm_lambda, psd_levels=psd_levels
-        )
-    )(Ts)
+    one vmap over the candidate-horizon axis (df32 lanes under a TPU f32
+    batch vmap; see _make_bruteforce_cv)."""
+    e, du, lx, lu, l0, Qstage = stage_expansion(system, prob, X, U)
+    eTs = wrap_error(X[1:] - prob.xg, prob.wrap_mask)
+    QfT = sym(prob.Qf)
+    return _make_bruteforce_cv(float(lm_lambda), int(psd_levels))(
+        A, B, lx, lu, l0, Qstage, eTs, QfT, prob.R
+    )
 
 
 # =============================================================================
