@@ -97,6 +97,8 @@ def run_case(
     save_trajectories: bool = False,
     save_jt: bool = False,
     consistency: bool = False,
+    phase_timers: bool = False,
+    distributed: bool = False,
     outdir: str = ".",
 ):
     from timeopt_tpu.ops.wrap import wrap_error
@@ -104,6 +106,26 @@ def run_case(
 
     system, base, probs = build_trial_problems(case, trials, seed, dtype)
     lin_mode = "central" if use_central_diff else "ad"
+
+    if distributed:
+        # multi-host: every process builds the SAME deterministic trial set,
+        # solves only its contiguous slice over the global mesh, and
+        # all-gathers the results so the row computation below is identical
+        # on every host (host-0 writes the artifacts — see main()).
+        from timeopt_tpu.parallel import distributed as dist
+
+        mesh = dist.global_mesh()
+        lo, hi = dist.process_batch_bounds(trials)
+        local = jax.tree.map(lambda x: x[lo:hi], probs)
+
+        def _solve_all(opts):
+            res = dist.solve_batch_global(system, local, options=opts, mesh=mesh)
+            return jax.tree.map(jnp.asarray, dist.gather_results(res))
+
+    else:
+
+        def _solve_all(opts):
+            return solve_batch(system, probs, options=opts)
 
     rows = []
     jt_cols = {}
@@ -115,7 +137,7 @@ def run_case(
 
         # warmup/compile on the full batch, then time
         t0 = time.perf_counter()
-        res = solve_batch(system, probs, options=opts)
+        res = _solve_all(opts)
         jax.block_until_ready(res)
         compile_and_run = time.perf_counter() - t0
 
@@ -129,7 +151,7 @@ def run_case(
                 per_trial_times.append(time.perf_counter() - t0)
         else:
             t0 = time.perf_counter()
-            res = solve_batch(system, probs, options=opts)
+            res = _solve_all(opts)
             jax.block_until_ready(res)
             batch_time = time.perf_counter() - t0
             per_trial_times = [batch_time / trials] * trials
@@ -170,6 +192,22 @@ def run_case(
             )
             cc_max = float(cc["max_abs"])
             cc_rmse = float(cc["rmse"])
+        phase_cols = {}
+        if phase_timers:
+            # trial-0 per-phase device-time breakdown — the reference returns
+            # a per-solve `timers` dict (/root/reference/solver.py:756-765)
+            # and publishes t_linearize/t_select/t_backward/t_forward columns
+            # (plots/summary.csv). The fused batched solve has no phase
+            # boundaries, so this re-solves trial 0 through the host-driven
+            # phase profiler (utils/timing.py); first call warms the
+            # per-phase jit caches, the second is reported.
+            from timeopt_tpu.utils.timing import profile_any
+
+            prob0 = jax.tree.map(lambda x: x[0], probs)
+            profile_any(system, prob0, opts)
+            _, timers = profile_any(system, prob0, opts)
+            phase_cols = {f"t_{k}": float(v) for k, v in timers.items()}
+
         xg = np.asarray(probs.xg)
         wrap_mask = np.asarray(base.wrap_mask)
 
@@ -208,6 +246,7 @@ def run_case(
                         if consistency and i == 0
                         else {}
                     ),
+                    **(phase_cols if i == 0 else {}),
                 }
             )
         print(
@@ -291,10 +330,29 @@ def main(argv=None):
         help="save the trial-0 J(T) selection curve per case/solver to <outdir>/<case>/<case>_Jt.csv (reference plots/*_Jt.csv schema)",
     )
     ap.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host run: jax.distributed.initialize() (cluster auto-detect), trials sharded over the global (hosts x local devices) mesh, results all-gathered, CSVs written by process 0 only",
+    )
+    ap.add_argument(
+        "--phase-timers", action="store_true",
+        help="add trial-0 per-phase timer columns t_linearize/t_select/t_backward/t_forward (reference plots/summary.csv schema) via the host-driven phase profiler",
+    )
+    ap.add_argument(
         "--consistency", action="store_true",
         help="report propagator-vs-bruteforce J(T) consistency (max|d|, rmse) on each solver's trial-0 final trajectory (legacy summary.csv columns)",
     )
     args = ap.parse_args(argv)
+
+    if args.distributed:
+        # must precede any backend-initializing jax call in this process
+        from timeopt_tpu.parallel import distributed as dist
+
+        dist.initialize()
+        if args.timing == "per-solve" or args.phase_timers:
+            raise ValueError(
+                "--distributed supports only amortized timing (per-solve/phase "
+                "profiling is single-process host-driven)"
+            )
 
     solvers = [s.strip() for s in args.solvers.split(",") if s.strip()]
     for s in solvers:
@@ -312,7 +370,12 @@ def main(argv=None):
     if not args.f32:
         jax.config.update("jax_enable_x64", True)
 
-    os.makedirs(args.outdir, exist_ok=True)
+    # multi-host: artifacts are single-writer (host 0) — every process
+    # computes identical rows from the all-gathered results, only one writes
+    is_writer = (not args.distributed) or jax.process_index() == 0
+
+    if is_writer:
+        os.makedirs(args.outdir, exist_ok=True)
     all_rows = []
     for case in cases:
         rows = run_case(
@@ -326,26 +389,30 @@ def main(argv=None):
             success_tol=args.success_tol,
             timing=args.timing,
             dtype=dtype,
-            save_trajectories=args.save_trajectories,
-            save_jt=args.save_jt,
+            save_trajectories=args.save_trajectories and is_writer,
+            save_jt=args.save_jt and is_writer,
             consistency=args.consistency,
+            phase_timers=args.phase_timers,
+            distributed=args.distributed,
             outdir=args.outdir,
         )
         df_case, agg_case = enrich_and_aggregate(pd.DataFrame(rows), solvers)
-        case_dir = os.path.join(args.outdir, case)
-        os.makedirs(case_dir, exist_ok=True)
-        df_case.to_csv(os.path.join(case_dir, "summary_all.csv"), index=False)
-        agg_case.to_csv(os.path.join(case_dir, "summary_agg.csv"), index=False)
+        if is_writer:
+            case_dir = os.path.join(args.outdir, case)
+            os.makedirs(case_dir, exist_ok=True)
+            df_case.to_csv(os.path.join(case_dir, "summary_all.csv"), index=False)
+            agg_case.to_csv(os.path.join(case_dir, "summary_agg.csv"), index=False)
         all_rows.extend(rows)
 
     df_all, agg_all = enrich_and_aggregate(pd.DataFrame(all_rows), solvers)
-    df_all.to_csv(os.path.join(args.outdir, "summary_all.csv"), index=False)
-    agg_all.to_csv(os.path.join(args.outdir, "summary_agg.csv"), index=False)
+    if is_writer:
+        df_all.to_csv(os.path.join(args.outdir, "summary_all.csv"), index=False)
+        agg_all.to_csv(os.path.join(args.outdir, "summary_agg.csv"), index=False)
 
-    print("\nSaved:")
-    print(" ", os.path.join(args.outdir, "summary_all.csv"))
-    print(" ", os.path.join(args.outdir, "summary_agg.csv"))
-    print(agg_all.to_string(index=False))
+        print("\nSaved:")
+        print(" ", os.path.join(args.outdir, "summary_all.csv"))
+        print(" ", os.path.join(args.outdir, "summary_agg.csv"))
+        print(agg_all.to_string(index=False))
 
 
 if __name__ == "__main__":

@@ -138,3 +138,151 @@ def profile_solve(
         "timers": timers,
     }
     return result, timers
+
+
+def profile_solve_onepass(
+    system: System,
+    prob: Problem,
+    options: Optional[SolveOptions] = None,
+    U_init=None,
+):
+    """Phase-timed one-pass (baseline2) solve. Phase attribution mirrors the
+    reference's onepass branch (/root/reference/solver.py:630-732): prefix
+    linearization counts as `linearize`; prefix build + value sweep + window
+    pick as `select`; the shifted-gain rollout as `forward`; the fixed-T̄
+    fallback's truncated backward as `backward`. Host-driven (like
+    profile_solve): per-phase `block_until_ready` brackets, single window
+    (no shrink retries) — a profiling view, not the production fused loop."""
+    from timeopt_tpu.solver.cost import nominal_cost_curve
+    from timeopt_tpu.solver.onepass import (
+        extend_nominal_backward,
+        onepass_pick,
+        onepass_rollout,
+        value_sweep_prefix,
+    )
+
+    opts = options or SolveOptions(method="onepass")
+    assert opts.method == "onepass"
+    S = int(opts.S_window)
+    timers = {"linearize": 0.0, "select": 0.0, "backward": 0.0, "forward": 0.0}
+    prefix_mode = opts.linearize_mode if opts.linearize_mode == "ad" else "forward"
+
+    lin = jax.jit(lambda X, U: linearize(system.step, X, U, opts.linearize_mode))
+    lin_pre = jax.jit(lambda X, U: linearize(system.step, X, U, prefix_mode))
+    ext = jax.jit(
+        lambda X, U: extend_nominal_backward(
+            system, X, U, U[0], S, method=opts.onepass_preimage
+        )
+    )
+    sweep_fn = jax.jit(
+        lambda A, B, X, U, T_bar, lm: value_sweep_prefix(
+            system, prob, A, B, X, U, T_bar, S, lm
+        )
+    )
+    SL = jnp.asarray(max(1, S), jnp.int32)
+    pick_fn = jax.jit(
+        lambda sweep, X_ext, T_bar: onepass_pick(
+            prob, sweep, X_ext, X_ext[S], T_bar, S, SL, SL
+        )
+    )
+    roll_fn = jax.jit(
+        lambda X_ext, U_ext, sweep, T_bar, T_star: onepass_rollout(
+            system, prob, X_ext, U_ext, sweep, T_bar, T_star, S,
+            alphas=opts.alphas[: min(4, len(opts.alphas))],
+        )
+    )
+    bw_fn = jax.jit(
+        lambda A, B, X, U, T, lm: backward_truncated(system, prob, A, B, X, U, T, lm)
+    )
+    fw_fn = jax.jit(
+        lambda X, U, K, kap, T: forward_linesearch(
+            system, prob, X, U, K, kap, T, alphas=opts.alphas
+        )
+    )
+
+    def timed(key, fn, *a):
+        t0 = time.perf_counter()
+        out = fn(*a)
+        jax.block_until_ready(out)
+        timers[key] += time.perf_counter() - t0
+        return out
+
+    if U_init is None:
+        U_init = default_U_init(prob)
+    U = U_init
+    X = rollout(system, prob, prob.x0, U)
+    J_nom = nominal_cost_curve(system, prob, X, U)
+    T_bar = argmin_T(J_nom, prob.T_min, prob.T_max)
+    jax.block_until_ready((X, T_bar))
+
+    # warm-start fixed-T̄ update (reference solver.py:540-555)
+    A, B = timed("linearize", lin, X, U)
+    lm = jnp.asarray(opts.lm_init, X.dtype)
+    res_bw = timed("backward", bw_fn, A, B, X, U, T_bar, lm)
+    J_hist, T_hist = [], []
+    if bool(res_bw.ok):
+        ls = timed("forward", fw_fn, X, U, res_bw.K, res_bw.kappa, T_bar)
+        X, U = ls.X, ls.U
+        if bool(jnp.isfinite(ls.J)):
+            J_hist.append(float(ls.J))
+            T_hist.append(int(T_bar))
+
+    for _ in range(opts.max_iter):
+        A, B = timed("linearize", lin, X, U)
+        X_ext, U_ext = timed("select", ext, X, U)
+        if S > 0:
+            A_pre, B_pre = timed("linearize", lin_pre, X_ext[: S + 1], U_ext[:S])
+            A_ext = jnp.concatenate([A_pre, A], axis=0)
+            B_ext = jnp.concatenate([B_pre, B], axis=0)
+        else:
+            A_ext, B_ext = A, B
+        sweep = timed("select", sweep_fn, A_ext, B_ext, X_ext, U_ext, T_bar, lm)
+        T_star, _ = timed("select", pick_fn, sweep, X_ext, T_bar)
+
+        acc = False
+        if bool(sweep.ok):
+            Xc, Uc, Jc, okroll = timed(
+                "forward", roll_fn, X_ext, U_ext, sweep, T_bar, T_star
+            )
+            J_prev = J_hist[-1] if J_hist else float("inf")
+            acc = bool(okroll) and float(Jc) < J_prev
+            if acc:
+                X, U, Jn = Xc, Uc, float(Jc)
+        else:
+            # numerical-failure fallback: fixed-T̄ truncated update
+            # (reference solver.py:674-701)
+            res_bw = timed("backward", bw_fn, A, B, X, U, T_bar, lm)
+            if bool(res_bw.ok):
+                ls = timed("forward", fw_fn, X, U, res_bw.K, res_bw.kappa, T_bar)
+                acc = bool(ls.accepted) and bool(jnp.isfinite(ls.J))
+                if acc:
+                    X, U, Jn = ls.X, ls.U, float(ls.J)
+                    T_star = T_bar
+        if acc:
+            T_bar = T_star
+            J_hist.append(Jn)
+            T_hist.append(int(T_star))
+            lm = jnp.maximum(lm / 10.0, 1e-12)
+        else:
+            lm = lm * 10.0
+        if len(J_hist) >= 2:
+            rel = abs(J_hist[-1] - J_hist[-2]) / (abs(J_hist[-2]) + 1e-12)
+            if rel < opts.rel_tol and len(T_hist) >= 3 and len(set(T_hist[-3:])) == 1:
+                break
+
+    result = {
+        "X": X,
+        "U": U,
+        "J_hist": J_hist,
+        "T_hist": T_hist,
+        "T_star": T_hist[-1] if T_hist else int(T_bar),
+        "timers": timers,
+    }
+    return result, timers
+
+
+def profile_any(system, prob, options: SolveOptions, U_init=None):
+    """Dispatch to the right phase profiler for the method."""
+    if options.method == "onepass":
+        return profile_solve_onepass(system, prob, options, U_init)
+    return profile_solve(system, prob, options, U_init)
