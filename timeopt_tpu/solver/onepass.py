@@ -16,9 +16,13 @@ Jittability transforms applied:
 - T̄ is traced: the backward sweep runs over the full static length
   L = T_max + S with the terminal injected at index T̄+S and pass-through
   above it (same masking pattern as the truncated backward pass).
-- The reference's per-step LM escalation (x10 up to 12 tries) becomes a
-  static 3-rung ladder (lam, lam*1e4, lam*1e8) selected by SPD-ness —
-  coarser steps covering the same range, branchless.
+- The reference's per-step LM escalation (x10 up to 12 tries, reaching
+  lam*1e11 — /root/reference/horizon_selection.py:179-200) becomes a static
+  4-rung ladder (lam, lam*1e4, lam*1e8, lam*1e12) selected by SPD-ness —
+  coarser steps whose reach covers (and slightly exceeds) the reference's
+  escalation range, branchless. The chosen rung is within x1e4 above the
+  reference's chosen lambda (property-tested in tests/test_lm_ladder.py);
+  outcomes stay cost-gated by the rollout accept test either way.
 - The reference's typed exceptions become an `ok` flag; the fallback
   fixed-T̄ update is computed unconditionally and selected where ~ok (under
   vmap a per-problem branch is a select anyway).
@@ -218,8 +222,9 @@ def _sweep_impl(A, B, lx, lu, l0, Qs, eT, eT_fin, fin_in, QfT, R, iT, lam0):
         Qux = Bi.T @ Vxx_in @ Ai
 
         # static LM ladder replacing the reference's x10-up-to-12-tries loop
+        # (4 rungs reach lam*1e12 >= the reference's lam*1e11 ceiling)
         Quu_s = sym(Quu)
-        lams = jnp.stack([lam0, lam0 * 1e4, lam0 * 1e8])
+        lams = jnp.stack([lam0, lam0 * 1e4, lam0 * 1e8, lam0 * 1e12])
         regs = Quu_s[None] + lams[:, None, None] * I_m[None]
         spd = jax.vmap(spd_check)(regs)  # (3,)
         pick = jnp.argmax(spd)  # first SPD rung

@@ -97,12 +97,14 @@ def sweep_lanes_df(A, B, lx, lu, l0, Qs, eT, eT_fin, fin_in, QfT, R, iT, lam0):
         Quu = dfm.df_add(R_df, dfm.df_matmul_tn(Bdf, VB))
         Qux = dfm.df_matmul_tn(Bdf, VA)  # (m, n, B)
 
-        # static 3-rung LM ladder, first SPD rung wins (same rungs as the
-        # plain implementation: lam0, lam0*1e4, lam0*1e8)
+        # static 4-rung LM ladder, first SPD rung wins (same rungs as the
+        # plain implementation: lam0, lam0*1e4, lam0*1e8, lam0*1e12 — reach
+        # covers the reference's x10-up-to-12-tries escalation ceiling of
+        # lam0*1e11, /root/reference/horizon_selection.py:179-200)
         Quu_s = dfm.df_sym_half(Quu)
         iQ = None
         chosen = jnp.zeros((Bb,), bool)
-        for mult in (1.0, 1e4, 1e8):
+        for mult in (1.0, 1e4, 1e8, 1e12):
             lam = (lam0 * mult)[None, None, :] * eye_m
             reg = dfm.df_add(Quu_s, dfm.df_mat(lam))
             iQ_r, piv = dfm.df_gj_inv_pivots(reg, 0.0, eye_m)
