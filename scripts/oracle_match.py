@@ -75,7 +75,16 @@ def run(platform):
     T = np.asarray(res.T_star)
     J = np.asarray(res.J_star)
     os.makedirs(OUT, exist_ok=True)
-    np.savez(os.path.join(OUT, fname), T=T, J=J)
+    # J_curve: the final selection curve per problem (tie analysis on the
+    # oracle's own landscape); X/U: final trajectories (~1 MB), so `verify`
+    # can re-evaluate the f64 brute-force curve ON the f32 solve's own final
+    # trajectory — distinguishing genuine selection errors from
+    # iterate-path basin divergence.
+    np.savez(
+        os.path.join(OUT, fname),
+        T=T, J=J, J_curve=np.asarray(res.J_curve),
+        X=np.asarray(res.X), U=np.asarray(res.U),
+    )
     print(f"{platform} {CASE}: wrote {fname}  T* median {np.median(T)}  J median {np.median(J):.4f}")
 
 
@@ -89,10 +98,51 @@ def report():
     rel = np.abs(J32 - J64) / np.maximum(np.abs(J64), 1e-12)
     print(f"{CASE}  B={len(T64)}  T* exact match: {exact:.3f}  within +/-1: {within1:.3f}")
     print(f"J rel gap: median {np.median(rel):.2e}  max {rel.max():.2e}")
+
+    # tie-aware criterion (VERDICT round-1 item 6): a mismatch is a
+    # COST-EQUIVALENT FLAT TIE when the cost difference is no more than the
+    # pure horizon-length penalty of the T* difference plus one step,
+    # |dJ| <= w * (|dT| + 1) — i.e. the tracking cost is flat between the
+    # two picks and the J gap is the w*T time term itself (the hover-tail
+    # picks of docs/DESIGN.md §5). Mismatches above that bound are genuine
+    # selection errors.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # analysis only — no TPU claim
+    import jax.numpy as jnp
+
+    from timeopt_tpu.models import get_system
+
+    _, mk = get_system(CASE)
+    w = float(mk(dtype=jnp.float64).w)
+    dT = np.abs(T32.astype(np.int64) - T64.astype(np.int64))
+    if "J_curve" in a.files:
+        # landscape-based tie: evaluate BOTH picks on the f64 oracle's own
+        # final J(T) curve — |J64(T32) - J64(T64)| <= w*(|dT|+1) means the
+        # oracle itself rates the two horizons within the time-penalty
+        # resolution of each other (a flat-valley tie), independent of any
+        # iterate-path divergence between the two executions.
+        curve64 = a["J_curve"]  # (B, T_max), index t-1 holds J(T=t)
+        idx = np.arange(len(T64))
+        dJ = np.abs(curve64[idx, T32 - 1] - curve64[idx, T64 - 1])
+        crit = "|J64(T32)-J64(T64)| on oracle curve"
+    else:
+        dJ = np.abs(J32 - J64)
+        crit = "|J32*-J64*| (final costs; includes iterate-path divergence)"
+    tied = dJ <= w * (dT + 1)
+    exact_or_tied = ((T32 == T64) | tied).mean()
+    print(
+        f"tie-aware ({crit} <= w*(|dT|+1), w={w:g}): "
+        f"exact-or-tied {exact_or_tied:.3f}"
+    )
     mism = np.nonzero(T32 != T64)[0]
     if len(mism):
         print(f"mismatches ({len(mism)}): idx {mism[:10]}  dT {(T32-T64)[mism][:10]}")
         print(f"  their J rel gaps: {rel[mism][:10]}")
+        print(f"  cost-equivalent ties among them: {int(tied[mism].sum())}/{len(mism)}")
+        hard = mism[~tied[mism]]
+        if len(hard):
+            print(f"  GENUINE selection errors: idx {hard}  dT {(T32-T64)[hard]}  dJ {dJ[hard]}")
 
 
 if __name__ == "__main__":
