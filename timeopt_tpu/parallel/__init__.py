@@ -5,6 +5,7 @@ from timeopt_tpu.parallel.mesh import (
     propagator_select_sharded,
 )
 from timeopt_tpu.parallel.stats import t_star_histogram, batch_summary
+from timeopt_tpu.parallel import distributed
 
 __all__ = [
     "make_mesh",
@@ -13,4 +14,5 @@ __all__ = [
     "propagator_select_sharded",
     "t_star_histogram",
     "batch_summary",
+    "distributed",
 ]
