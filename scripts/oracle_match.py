@@ -145,9 +145,64 @@ def report():
             print(f"  GENUINE selection errors: idx {hard}  dT {(T32-T64)[hard]}  dJ {dJ[hard]}")
 
 
+def verify_mismatches():
+    """For every T* mismatch: evaluate the f64 brute-force J(T) curve ON THE
+    f32 SOLVE'S OWN final trajectory (cast to f64). If the f32 pick is the
+    argmin of that landscape, the f32 solve solved ITS problem exactly and
+    the mismatch is iterate-path basin divergence (cost-equivalent to ~1e-3,
+    see report()), not a selection error."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from timeopt_tpu.models import get_system
+    from timeopt_tpu.solver.cost import argmin_T
+    from timeopt_tpu.solver.horizon import bruteforce_J_curve
+    from timeopt_tpu.solver.ilqr import broadcast_problem
+    from timeopt_tpu.solver.linearize import linearize
+
+    a = np.load(os.path.join(OUT, f"oracle_f64{_suffix()}.npz"))
+    b = np.load(os.path.join(OUT, f"oracle_f32{_suffix()}.npz"))
+    if "X" not in b.files:
+        print("oracle_f32 artifact has no trajectories — re-run `tpu` first")
+        return
+    T64, T32 = a["T"], b["T"]
+    mism = np.nonzero(T32 != T64)[0]
+    if not len(mism):
+        print(f"{CASE}: no mismatches")
+        return
+
+    system, mk = get_system(CASE)
+    base = mk(dtype=jnp.float64)
+    x0s = make_x0s(np.asarray(base.x0, np.float64), system.sigma_x0)
+    Tm = int(base.T_max)
+    own_opt = 0
+    for i in mism:
+        prob = jax.tree.map(lambda x: x, base).replace(x0=jnp.asarray(x0s[i]))
+        X = jnp.asarray(b["X"][i], jnp.float64)[: Tm + 1]
+        U = jnp.asarray(b["U"][i], jnp.float64)[:Tm]
+        A, B_ = linearize(system.step, X, U, "ad")
+        curve = bruteforce_J_curve(system, prob, A, B_, X, U, psd_levels=1)
+        T_own = int(argmin_T(curve, prob.T_min, prob.T_max))
+        ok = T_own == int(T32[i])
+        own_opt += ok
+        print(
+            f"  idx {i}: T32={int(T32[i])} T64={int(T64[i])}  f64-argmin on f32's "
+            f"own trajectory: {T_own}  {'OWN-OPTIMAL' if ok else 'SELECTION ERROR'}"
+        )
+    print(
+        f"{CASE}: {own_opt}/{len(mism)} mismatches are own-trajectory-optimal "
+        f"(basin divergence, not selection error)"
+    )
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "report"
     if mode in ("cpu", "tpu"):
         run(mode)
+    elif mode == "verify":
+        verify_mismatches()
     else:
         report()
