@@ -127,6 +127,29 @@ def test_save_jt_curve(tmp_path):
     assert os.path.exists(png)
 
 
+def test_phase_timer_columns(tmp_path):
+    """--phase-timers adds trial-0 t_linearize/t_select/t_backward/t_forward
+    columns (the reference's per-solve `timers` dict, solver.py:756-765,
+    published as per-phase columns in plots/summary.csv) for curve methods
+    AND one-pass."""
+    out = tmp_path / "pt"
+    suite_main([
+        "--outdir", str(out),
+        "--trials", "2",
+        "--max-iter", "4",
+        "--cases", "DoubleIntegrator",
+        "--solvers", "ourmethod,baseline2",
+        "--phase-timers",
+    ])
+    df = pd.read_csv(os.path.join(out, "summary_all.csv"))
+    for col in ["t_linearize", "t_select", "t_backward", "t_forward"]:
+        assert col in df.columns, col
+        t0 = df[df["trial"] == 0][col]
+        assert np.isfinite(t0).all() and (t0 >= 0).all()
+        # non-trial-0 rows carry no phase columns
+        assert df[df["trial"] != 0][col].isna().all()
+
+
 def test_onepass_fallback_and_consistency_columns(tmp_path):
     """solver_error records one-pass sweep fallbacks (reference returns the
     exception repr as `onepass_error`, solver.py:764); --consistency adds the

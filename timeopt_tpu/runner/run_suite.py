@@ -135,6 +135,14 @@ def run_case(
             method=method, max_iter=max_iter, S_window=S_window, linearize_mode=lin_mode
         )
 
+        # live progress (reference: tqdm bar with per-trial postfix,
+        # /root/reference/run_suite.py:113,156,191 — here the trials run as
+        # ONE batched device call, so progress is per (case, solver) stage)
+        print(
+            f"[{case}] {solver_name}: solving {trials} trials "
+            f"(batched, max_iter={max_iter}) ...",
+            flush=True,
+        )
         # warmup/compile on the full batch, then time
         t0 = time.perf_counter()
         res = _solve_all(opts)
