@@ -451,6 +451,10 @@ def solve(
     # On TPU, f32 must go through the df32 Pallas kernels (the plain-f32 XLA
     # path is numerically wrong for the propagator recursion) — the kernels
     # sit behind the batching rule, so route a single solve as a batch of 1.
+    # Measured (scripts/latency_probe.py, quadrotor max_iter=12): this path
+    # is also the FASTEST single-solve option at 84.8 ms/solve vs 352.9 ms
+    # for scan_mode="assoc_df" — batch-of-1 routing is latency-optimal, not
+    # just a correctness fallback.
     if _on_tpu() and prob.x0.dtype == jnp.float32 and opts.use_pallas:
         probs = jax.tree.map(lambda x: x[None], prob)
         res = _solve_batch_jit(system, opts, probs, U_init[None])
