@@ -1,0 +1,176 @@
+"""Quadrotor hover-tail selection diagnostic (round 2).
+
+Context: `oracle_match.py verify` showed 7/8 quadrotor T* mismatches are NOT
+own-trajectory-optimal: the f64 propagator curve on the f32 solve's own
+final trajectory picks T=51, while the committed on-chip final J_curve dips
+at T in [150, 160] (apparent error -1.1 on a flat landscape of range ~0.5)
+and picks ~157. The artifact curve is evaluated at the penultimate iterate
+(the outer loop records J_curve from the body call that set `done`, i.e.
+BEFORE the final accepted trajectory), so this probe recomputes the on-chip
+df32 curve ON EXACTLY the saved final trajectory and compares against the
+f64 CPU curve on the same arrays, for each kernel path.
+
+MEASURED VERDICT (idx 5, hardware): all four on-chip implementations agree
+with the f64 reference — argmin 51, a UNIFORM J offset of -0.05..-0.06
+(f32 input rounding of the cost scale, not an ordering error; max deviation
+from uniformity ~0.002 over T in [40,160]), and NO tail dip:
+
+  fused    argmin=51  d in [-0.0557,-0.0557]  max|d|=0.0574
+  generic  argmin=51  d in [-0.0496,-0.0494]  max|d|=0.0496
+  assoc    argmin=51  d(.)  = -0.0495          max|d|=0.0496
+  bf       argmin=51  d(.)  = -0.0520          max|d|=0.0536
+
+i.e. selection at deployed precision is exact per-iterate; the committed
+curve's tail dip was a penultimate-vs-final TRAJECTORY difference (one
+accepted DDP step at T*=157 improves the curve near T=157 by ~1 while
+leaving J(51) almost unchanged), not a kernel defect. The T*=157 outcomes
+are converged alternate basins reached via f32 iterate-path divergence —
+and pure-f64 solves from f32-ROUNDED x0 still pick 51/52 (measured), so the
+divergence originates in f32 arithmetic of the early solve iterations, not
+in the problem statement.
+
+  fused    — fused-assembly select kernel (production path)
+  generic  — build_augmented + generic df select kernel (k-varying Q_aug)
+  assoc    — time-on-lanes Hillis-Steele df32 select (independent impl)
+  bf       — df32 brute-force value expansion (independent oracle impl)
+
+Usage:
+  PYTHONPATH=/root/repo python scripts/oracle_match.py tpu   # artifact w/ X,U
+  PYTHONPATH=/root/repo python scripts/tail_spike_probe.py cpu   # writes f64 ref
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/tail_spike_probe.py tpu
+Env: IDX (problem index, default 5), MODES (fused,generic,assoc).
+"""
+
+import os
+import sys
+
+import numpy as np
+
+IDX = int(os.environ.get("IDX", "5"))
+OUT = os.path.join(os.path.dirname(__file__), "..", "results")
+REF = "/tmp/tail_spike_ref.npz"
+
+
+def load_traj():
+    b = np.load(os.path.join(OUT, "oracle_f32.npz"))
+    import scripts.oracle_match as om
+
+    return b["X"][IDX], b["U"][IDX], om
+
+
+def run_cpu():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from timeopt_tpu.models import get_system
+    from timeopt_tpu.solver.augmented import build_augmented, build_terminal_factors
+    from timeopt_tpu.solver.horizon import propagator_select
+    from timeopt_tpu.solver.linearize import linearize
+
+    X_, U_, om = load_traj()
+    system, mk = get_system("Quadrotor")
+    # reference curve with the DEPLOYED f32 inputs: blocks assembled in f32
+    # (same q_reg=1e-5), then cast to f64 and propagated in f64 — isolates
+    # the on-chip df32 propagation/query from input/assembly rounding
+    base = mk(dtype=jnp.float32)
+    x0s = om.make_x0s(
+        np.asarray(mk(dtype=jnp.float64).x0, np.float64), system.sigma_x0
+    )
+    prob = base.replace(x0=jnp.asarray(x0s[IDX], jnp.float32))
+    Tm = int(base.T_max)
+    X = jnp.asarray(X_, jnp.float32)[: Tm + 1]
+    U = jnp.asarray(U_, jnp.float32)[:Tm]
+    A, B = linearize(system.step, X, U, "ad")
+    blocks = build_augmented(system, prob, X, U, A, B, q_reg=1e-5, psd_levels=1)
+    term = build_terminal_factors(prob, X, s=blocks.s)
+    c64 = lambda t: jax.tree.map(lambda x: x.astype(jnp.float64), t)
+    curve = blocks.s[0].astype(jnp.float64) ** 2 * propagator_select(
+        c64(blocks), c64(term), scan_mode="sequential", psd_levels=1,
+        terminal_mode="factored",
+    )
+    np.savez(REF, curve=np.asarray(curve))
+    print(f"cpu: wrote {REF}  argmin[40:]={int(np.argmin(np.asarray(curve)[39:])) + 40}")
+
+
+def run_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from timeopt_tpu.models import get_system
+    from timeopt_tpu.solver.ilqr import SolveOptions, _select_curve
+    from timeopt_tpu.solver.linearize import linearize
+
+    X_, U_, om = load_traj()
+    ref = np.load(REF)["curve"] if os.path.exists(REF) else None
+    system, mk = get_system("Quadrotor")
+    base = mk(dtype=jnp.float32)
+    x0s = om.make_x0s(np.asarray(mk(dtype=jnp.float64).x0, np.float64), system.sigma_x0)
+    prob = base.replace(x0=jnp.asarray(x0s[IDX], jnp.float32))
+    Tm = int(base.T_max)
+    X = jnp.asarray(X_, jnp.float32)[: Tm + 1]
+    U = jnp.asarray(U_, jnp.float32)[:Tm]
+    A, B = jax.jit(lambda x, u: linearize(system.step, x, u, "ad"))(X, U)
+
+    from timeopt_tpu.solver.augmented import build_augmented, build_terminal_factors
+    from timeopt_tpu.solver.horizon import propagator_select_cv
+
+    def generic_curve(Xs, Us, As, Bs):
+        # the non-fused cv path of _select_curve (ilqr.py:257-269): blocks
+        # assembled in XLA, composition/query in the generic df kernel
+        blocks = build_augmented(
+            system, prob, Xs, Us, As, Bs, q_reg=1e-5, psd_levels=1
+        )
+        term = build_terminal_factors(prob, Xs, s=blocks.s)
+        return blocks.s[0] ** 2 * propagator_select_cv(
+            blocks.A_aug, blocks.B_aug, blocks.Q_aug, blocks.R_inv, term,
+            t_min=prob.T_min,
+        )
+
+    table = {
+        # production fused-assembly kernel (batch-of-1 through the cv rule)
+        "fused": SolveOptions(max_iter=12, psd_levels=1),
+        # independent Hillis-Steele implementation
+        "assoc": SolveOptions(max_iter=12, psd_levels=1, scan_mode="assoc_df"),
+        # independent df32 brute-force value expansion
+        "bf": SolveOptions(max_iter=12, psd_levels=1, method="bruteforce"),
+    }
+    modes = os.environ.get("MODES", "fused,generic,assoc,bf").split(",")
+    for mode in modes:
+        mode = mode.strip()
+        if mode == "generic":
+            curve = np.asarray(
+                jax.jit(jax.vmap(generic_curve))(X[None], U[None], A[None], B[None])
+            )[0]
+        else:
+            opts = table[mode]
+
+            def one(Xs, Us, As, Bs):
+                return _select_curve(system, prob, opts, Xs, Us, As, Bs)
+
+            if mode == "assoc":
+                curve = np.asarray(jax.jit(one)(X, U, A, B))
+            else:
+                curve = np.asarray(
+                    jax.jit(jax.vmap(one))(X[None], U[None], A[None], B[None])
+                )[0]
+        am = int(np.argmin(curve[39:])) + 40
+        line = f"{mode:8s} argmin[40:]={am}"
+        if ref is not None:
+            d = curve - ref
+            line += (
+                f"  d(51)={d[50]:+.4f} d(140)={d[139]:+.4f} d(150)={d[149]:+.4f}"
+                f" d(157)={d[156]:+.4f} d(160)={d[159]:+.4f}"
+                f" max|d|[40:]={np.nanmax(np.abs(d[39:])):.4f}"
+            )
+        print(line, flush=True)
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "tpu"
+    if mode == "cpu":
+        run_cpu()
+    else:
+        run_tpu()
