@@ -51,10 +51,38 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "results")
 REF = "/tmp/tail_spike_ref.npz"
 
 
+ITER0 = os.environ.get("ITER0", "0") == "1"
+
+
 def load_traj():
-    b = np.load(os.path.join(OUT, "oracle_f32.npz"))
     import scripts.oracle_match as om
 
+    if ITER0:
+        # deterministic iteration-0 nominal: df32 rollout of tiled u_ref
+        # from the perturbed x0. The TPU run computes and SAVES it
+        # (/tmp/iter0_traj.npz) so the CPU reference pass scores the exact
+        # same trajectory; the CPU pass requires that file.
+        path = "/tmp/iter0_traj.npz"
+        if os.path.exists(path):
+            z = np.load(path)
+            return z["X"], z["U"], om
+        import jax.numpy as jnp
+
+        from timeopt_tpu.models import get_system
+        from timeopt_tpu.solver.ilqr import default_U_init
+        from timeopt_tpu.solver.rollout_df import rollout_df
+
+        system, mk = get_system("Quadrotor")
+        base = mk(dtype=jnp.float32)
+        x0s = om.make_x0s(
+            np.asarray(mk(dtype=jnp.float64).x0, np.float64), system.sigma_x0
+        )
+        prob = base.replace(x0=jnp.asarray(x0s[IDX], jnp.float32))
+        U = default_U_init(prob)
+        X = rollout_df(system, prob, prob.x0, U)
+        np.savez(path, X=np.asarray(X), U=np.asarray(U))
+        return np.asarray(X), np.asarray(U), om
+    b = np.load(os.path.join(OUT, "oracle_f32.npz"))
     return b["X"][IDX], b["U"][IDX], om
 
 
