@@ -198,11 +198,69 @@ def verify_mismatches():
     )
 
 
+def summary():
+    """Recompute the headline north-star numbers from the COMMITTED artifacts
+    (all five cases): per-case and aggregate exact T*-match, plus the
+    tie-aware exact-or-tied rate under the landscape criterion
+    |J64(T32)-J64(T64)| <= w*(|dT|+1) on the f64 oracle's own final curve
+    (falls back to |J32*-J64*| for old-format artifacts without J_curve).
+    This is the single invocation that README/DESIGN/CLAUDE.md headline
+    numbers must reproduce from."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # analysis only — no TPU claim
+    import jax.numpy as jnp
+
+    from timeopt_tpu.models import get_system
+
+    cases = [
+        "DoubleIntegrator",
+        "Cartpole_SwingUp",
+        "Ballbot_Balance",
+        "Segway_Balance",
+        "Quadrotor",
+    ]
+    tot_e = tot_t = tot_n = 0
+    print(f"{'case':20s} {'exact':>11s} {'exact-or-tied':>14s}  criterion")
+    for case in cases:
+        sfx = "" if case == "Quadrotor" else f"_{case}"
+        a = np.load(os.path.join(OUT, f"oracle_f64{sfx}.npz"))
+        b = np.load(os.path.join(OUT, f"oracle_f32{sfx}.npz"))
+        T64, T32 = a["T"], b["T"]
+        n = len(T64)
+        exact = int((T32 == T64).sum())
+        _, mk = get_system(case)
+        w = float(mk(dtype=jnp.float64).w)
+        dT = np.abs(T32.astype(np.int64) - T64.astype(np.int64))
+        if "J_curve" in a.files:
+            curve64 = a["J_curve"]
+            idx = np.arange(n)
+            dJ = np.abs(curve64[idx, T32 - 1] - curve64[idx, T64 - 1])
+            crit = "landscape"
+        else:
+            dJ = np.abs(b["J"] - a["J"])
+            crit = "final-cost"
+        tied_n = int(((T32 == T64) | (dJ <= w * (dT + 1))).sum())
+        tot_e += exact
+        tot_t += tied_n
+        tot_n += n
+        print(
+            f"{case:20s} {exact:4d}/{n} {exact/n:.3f} {tied_n:4d}/{n} {tied_n/n:.3f}"
+            f"   {crit}"
+        )
+    print(
+        f"{'AGGREGATE':20s} {tot_e:4d}/{tot_n} {tot_e/tot_n:.3f} "
+        f"{tot_t:4d}/{tot_n} {tot_t/tot_n:.3f}"
+    )
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "report"
     if mode in ("cpu", "tpu"):
         run(mode)
     elif mode == "verify":
         verify_mismatches()
+    elif mode == "summary":
+        summary()
     else:
         report()

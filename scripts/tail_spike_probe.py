@@ -65,7 +65,25 @@ def load_traj():
         path = "/tmp/iter0_traj.npz"
         if os.path.exists(path):
             z = np.load(path)
+            gen = str(z["backend"]) if "backend" in z.files else "unknown"
+            if gen != "tpu":
+                print(
+                    f"WARNING: {path} was generated on backend={gen!r} — "
+                    "compiled-CPU df32 is degraded (CLAUDE.md invariant #2); "
+                    "delete it and re-run the tpu pass first for a faithful repro.",
+                    file=sys.stderr,
+                )
             return z["X"], z["U"], om
+        import jax
+
+        if jax.default_backend() != "tpu":
+            # the shared trajectory must come from the TPU pass (the CPU
+            # backend would persist a compiled-CPU df32 rollout, which is
+            # degraded per CLAUDE.md invariant #2)
+            raise SystemExit(
+                f"{path} missing: run the tpu pass first (it computes and "
+                "saves the deterministic iterate-0 trajectory)"
+            )
         import jax.numpy as jnp
 
         from timeopt_tpu.models import get_system
@@ -80,7 +98,9 @@ def load_traj():
         prob = base.replace(x0=jnp.asarray(x0s[IDX], jnp.float32))
         U = default_U_init(prob)
         X = rollout_df(system, prob, prob.x0, U)
-        np.savez(path, X=np.asarray(X), U=np.asarray(U))
+        np.savez(
+            path, X=np.asarray(X), U=np.asarray(U), backend=jax.default_backend()
+        )
         return np.asarray(X), np.asarray(U), om
     b = np.load(os.path.join(OUT, "oracle_f32.npz"))
     return b["X"][IDX], b["U"][IDX], om
