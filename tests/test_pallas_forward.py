@@ -1,0 +1,129 @@
+"""Parity tests for the fused forward line-search kernel
+(ops/pallas_forward.py) against the production batch-leading path
+(solver/forward.py + rollout_df), plus rows-form dynamics parity
+(models/base.py xdot_rows/guard_rows).
+
+Kernel runs in interpret mode here (CPU); interpret + compiled-CPU degrade
+the df32 tricks (CLAUDE.md invariant #2), hence loose value tolerances.
+Exact agreement of the df arithmetic is verified on real TPU hardware
+(scripts/fwd_probe.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from timeopt_tpu.models import get_system
+from timeopt_tpu.ops.pallas_forward import linesearch_lanes_df
+from timeopt_tpu.solver.backward import backward_truncated
+from timeopt_tpu.solver.cost import cost_true
+from timeopt_tpu.solver.forward import forward_linesearch
+from timeopt_tpu.solver.ilqr import broadcast_problem, default_U_init
+from timeopt_tpu.solver.linearize import linearize
+from timeopt_tpu.solver.rollout_df import rollout_df
+
+ALPHAS = (1.0, 0.5, 0.25, 0.1, 0.05)
+
+
+def test_xdot_rows_matches_xdot(rng):
+    from timeopt_tpu.models import quadrotor as q
+
+    x = rng.standard_normal((12, 64))
+    u = rng.standard_normal((4, 64)) + np.asarray([q.MASS * q.G, 0, 0, 0])[:, None]
+    d_rows = np.asarray(q.xdot_rows(jnp.asarray(x), jnp.asarray(u)))
+    d_ref = np.stack(
+        [np.asarray(q.xdot(jnp.asarray(x[:, i]), jnp.asarray(u[:, i]))) for i in range(64)],
+        axis=-1,
+    )
+    np.testing.assert_allclose(d_rows, d_ref, rtol=1e-13, atol=1e-13)
+
+
+def test_guard_rows_matches_guard(rng):
+    from timeopt_tpu.models import quadrotor as q
+
+    x = rng.standard_normal((12, 32))
+    u = rng.standard_normal((4, 32))
+    # trip each guard condition on some columns
+    x[7, 0] = np.pi / 2  # Euler singularity
+    x[9, 1] = 2e3  # omega blowup
+    x[0, 2] = 2e6  # norm blowup
+    x[3, 3] = np.nan
+    u[0, 4] = np.inf
+    g_rows = np.asarray(q.guard_rows(jnp.asarray(x), jnp.asarray(u)))
+    g_ref = np.asarray(
+        [bool(q.guard(jnp.asarray(x[:, i]), jnp.asarray(u[:, i]))) for i in range(32)]
+    )
+    assert g_rows.dtype == np.bool_
+    np.testing.assert_array_equal(g_rows, g_ref)
+    assert g_ref[:5].all()
+
+
+def _setup(rng, T_fixed, B=8):
+    system, mk = get_system("Quadrotor")
+    base = mk(dtype=jnp.float32)
+    x0s = np.tile(np.asarray(base.x0, np.float32), (B, 1))
+    x0s[:, :3] += 0.4 * rng.standard_normal((B, 3)).astype(np.float32)
+    probs = broadcast_problem(base, B).replace(x0=jnp.asarray(x0s))
+
+    def prep(p):
+        U = default_U_init(p)
+        X = rollout_df(system, p, p.x0, U)
+        A, Bm = linearize(system.step, X, U, "ad")
+        T = jnp.asarray(T_fixed, jnp.int32)
+        bw = backward_truncated(system, p, A, Bm, X, U, T, jnp.asarray(1e-3, jnp.float32))
+        J_old = cost_true(system, p, X, U, T)
+        return X, U, bw.K, bw.kappa, T, J_old
+
+    return system, probs, jax.jit(jax.vmap(prep))(probs)
+
+
+@pytest.mark.parametrize("T_fixed", [51, 160])
+def test_forward_kernel_matches_production(rng, T_fixed):
+    system, probs, (X, U, K, kap, T, J_old) = _setup(rng, T_fixed)
+
+    def prod(p, X, U, K, kap, T):
+        return forward_linesearch(
+            system, p, X, U, K, kap, T, alphas=ALPHAS, df_forward=True
+        )
+
+    ls = jax.jit(jax.vmap(prod))(probs, X, U, K, kap, T)
+
+    Xn, Un, Jn, acc = jax.jit(
+        lambda *a: linesearch_lanes_df(system, ALPHAS, *a, interpret=True)
+    )(
+        X, U, K, kap, T, J_old,
+        probs.xg, probs.u_ref, probs.Q, probs.R, probs.Qf, probs.w, probs.wrap_mask,
+    )
+
+    np.testing.assert_array_equal(np.asarray(acc), np.asarray(ls.accepted))
+    # same chosen alpha -> selected trajectories agree to rollout noise
+    np.testing.assert_allclose(np.asarray(Jn), np.asarray(ls.J), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(Xn), np.asarray(ls.X), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(Un), np.asarray(ls.U), rtol=2e-3, atol=2e-3)
+
+
+def test_forward_kernel_rejects_poisoned_rollout(rng):
+    """A rollout driven into the guard must come back unaccepted with
+    J = J_old (the reference skips non-finite rollouts, solver.py:267-280)."""
+    system, mk = get_system("Quadrotor")
+    base = mk(dtype=jnp.float32)
+    B = 4
+    probs = broadcast_problem(base, B)
+    N, n, m = base.N, base.n, base.m
+    U = jnp.broadcast_to(probs.u_ref[:, None, :], (B, N, m))
+    X = jax.jit(jax.vmap(lambda p, u: rollout_df(system, p, p.x0, u)))(probs, U)
+    kap = jnp.full((B, N, m), 1e8, jnp.float32)
+    K = jnp.zeros((B, N, m, n), jnp.float32)
+    T = jnp.full((B,), 51, jnp.int32)
+    J_old = jax.jit(jax.vmap(lambda p, X, U, T: cost_true(system, p, X, U, T)))(
+        probs, X, U, T
+    )
+    Xn, Un, Jn, acc = jax.jit(
+        lambda *a: linesearch_lanes_df(system, ALPHAS, *a, interpret=True)
+    )(
+        X, U, K, kap, T, J_old,
+        probs.xg, probs.u_ref, probs.Q, probs.R, probs.Qf, probs.w, probs.wrap_mask,
+    )
+    assert not np.asarray(acc).any()
+    np.testing.assert_array_equal(np.asarray(Jn), np.asarray(J_old))
+    np.testing.assert_array_equal(np.asarray(Xn), np.asarray(X))

@@ -90,6 +90,18 @@ class System:
     # quadrotor's Euler-singularity / divergence guards —
     # /root/reference/systems.py:165-191).
     guard: Optional[GuardFn] = dataclasses.field(default=None, compare=False)
+    # "Rows" (trailing-batch) variants of xdot/guard: x has shape
+    # (n, *batch), u (m, *batch), returning (n, *batch) / (*batch,) bool,
+    # built from ops that broadcast over the trailing batch axes. On TPU the
+    # minor-most dims map to the (sublane, lane) vector tiles, so a batched
+    # rollout whose state carries the batch on the MINOR axes is lane-dense,
+    # while the natural (batch, n) layout pads n -> 128 lanes (~10x HBM
+    # traffic). Optional: when present (and guard_rows matches guard), the
+    # batched forward line search runs in this layout
+    # (solver/forward_trail.py). Must compute the same values as xdot/guard
+    # up to float non-associativity of the reformulated expressions.
+    xdot_rows: Optional[XdotFn] = dataclasses.field(default=None, compare=False)
+    guard_rows: Optional[GuardFn] = dataclasses.field(default=None, compare=False)
     # State components step() angle-normalizes into (-pi, pi].
     wrap_idx: tuple = ()
     # default perturbation sigmas for benchmark trials

@@ -32,6 +32,17 @@ OMG_ABS_MAX = 1e3
 STATE_NORM_MAX = 1e6
 
 _INERTIA = jnp.asarray([IX, IY, IZ])
+# Division by the (constant) inertia is written as multiplication by the
+# precomputed reciprocal: Mosaic and XLA fold a divide-by-constant
+# differently (measured 2-ulp disagreement on TPU, scripts/fwd_probe.py
+# round 3), while a constant multiply is bit-identical across both — this
+# keeps the fused Pallas forward kernel (ops/pallas_forward.py) bitwise
+# consistent with the XLA paths. The reference divides
+# (/root/reference/systems.py:119-230); the difference is a ~1e-8 relative
+# reparameterization of the inertia, far below model accuracy (and the
+# f32 reciprocals are exactly 50, 50, 25).
+_INV_IX, _INV_IY, _INV_IZ = 1.0 / IX, 1.0 / IY, 1.0 / IZ
+_INV_INERTIA = jnp.asarray([_INV_IX, _INV_IY, _INV_IZ])
 
 
 def _body_z_world(phi, th, psi):
@@ -77,7 +88,9 @@ def xdot(x: jax.Array, u: jax.Array) -> jax.Array:
         - KV * vel
     )
     eulerdot = _euler_rate_matrix(phi, th).astype(x.dtype) @ omg
-    omgdot = (tau - jnp.cross(omg, inertia * omg)) / inertia - KW * omg
+    omgdot = (tau - jnp.cross(omg, inertia * omg)) * _INV_INERTIA.astype(
+        x.dtype
+    ) - KW * omg
 
     return jnp.concatenate([vel, acc, eulerdot, omgdot])
 
@@ -94,6 +107,63 @@ def guard(x: jax.Array, u: jax.Array) -> jax.Array:
     )
 
 
+def xdot_rows(x: jax.Array, u: jax.Array) -> jax.Array:
+    """Trailing-batch variant of xdot: x (12, *batch), u (4, *batch) ->
+    (12, *batch). Same formulas with the 3x3 matrix products written
+    row-wise (models/base.py System.xdot_rows); keeps a batched rollout
+    lane-dense on TPU."""
+    vel = x[3:6]
+    phi, th, psi = x[6], x[7], x[8]
+    wx, wy, wz = x[9], x[10], x[11]
+    thrust = u[0]
+    tau = u[1:4]
+
+    sph, cph = jnp.sin(phi), jnp.cos(phi)
+    sth, cth = jnp.sin(th), jnp.cos(th)
+    sps, cps = jnp.sin(psi), jnp.cos(psi)
+    tm = thrust / MASS
+    acc = jnp.stack(
+        [
+            tm * (cps * sth * cph + sps * sph) - KV * vel[0],
+            tm * (sps * sth * cph - cps * sph) - KV * vel[1],
+            tm * (cth * cph) - G - KV * vel[2],
+        ]
+    )
+    tth = jnp.tan(th)
+    sec = 1.0 / jnp.cos(th)
+    eulerdot = jnp.stack(
+        [
+            wx + sph * tth * wy + cph * tth * wz,
+            cph * wy - sph * wz,
+            sph * sec * wy + cph * sec * wz,
+        ]
+    )
+    # omega x (I omega), I diagonal
+    cx = wy * (IZ * wz) - wz * (IY * wy)
+    cy = wz * (IX * wx) - wx * (IZ * wz)
+    cz = wx * (IY * wy) - wy * (IX * wx)
+    omgdot = jnp.stack(
+        [
+            (tau[0] - cx) * _INV_IX - KW * wx,
+            (tau[1] - cy) * _INV_IY - KW * wy,
+            (tau[2] - cz) * _INV_IZ - KW * wz,
+        ]
+    )
+    return jnp.concatenate([vel, acc, eulerdot, omgdot])
+
+
+def guard_rows(x: jax.Array, u: jax.Array) -> jax.Array:
+    th = x[7]
+    omg = x[9:12]
+    return (
+        (~jnp.all(jnp.isfinite(x), axis=0))
+        | (~jnp.all(jnp.isfinite(u), axis=0))
+        | (jnp.sqrt(jnp.sum(jnp.square(x), axis=0)) > STATE_NORM_MAX)
+        | (jnp.abs(jnp.cos(th)) < COS_PITCH_MIN)
+        | jnp.any(jnp.abs(omg) > OMG_ABS_MAX, axis=0)
+    )
+
+
 step = euler_step_fn(xdot, DT, guard=guard)
 
 SYSTEM = System(
@@ -104,6 +174,8 @@ SYSTEM = System(
     step=step,
     xdot=xdot,
     guard=guard,
+    xdot_rows=xdot_rows,
+    guard_rows=guard_rows,
     sigma_x0=(0.4, 0.4, 0.4) + (0.0,) * 9,
     sigma_xg=(0.0,) * 12,
 )

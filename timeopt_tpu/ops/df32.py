@@ -130,6 +130,32 @@ def df_to_f32(x):
     return x[0] + x[1]
 
 
+def df_sum(x, axis: int = 0):
+    """Compensated pairwise reduction of an f32 array along `axis`: returns
+    the df32 pair of the sum, accurate to ~eps^2 regardless of length or
+    reduction shape. Used where a plain f32 `jnp.sum` would inject
+    O(log N * eps * sum|x|) noise into values that get COMPARED at that
+    scale (e.g. the truncated true cost: J ~ 450 summed from ~160 stage
+    terms carries ~2e-4 relative tree-sum noise, the same magnitude as the
+    solver's rel_tol convergence threshold). log2(N) rounds of elementwise
+    df adds — cheap, deterministic, and bit-consistent between XLA and
+    Mosaic."""
+    hi = jnp.moveaxis(x, axis, 0)
+    lo = jnp.zeros_like(hi)
+    n = hi.shape[0]
+    while n > 1:
+        m = n // 2
+        hi2, lo2 = df_add((hi[:m], lo[:m]), (hi[m : 2 * m], lo[m : 2 * m]))
+        if n % 2:
+            hi = jnp.concatenate([hi2, hi[2 * m :]], axis=0)
+            lo = jnp.concatenate([lo2, lo[2 * m :]], axis=0)
+            n = m + 1
+        else:
+            hi, lo = hi2, lo2
+            n = m
+    return hi[0], lo[0]
+
+
 # ----- small-matrix helpers in lanes layout ----------------------------------
 # Matrices are (rows, cols, lanes) pairs of f32 arrays: (Ah, Al).
 

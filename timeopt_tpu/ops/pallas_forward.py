@@ -1,0 +1,294 @@
+"""Fused Pallas TPU kernel for the batched forward line search.
+
+Why: the production forward pass is a `lax.scan` of N small steps over a
+(5 alphas x B problems) batch — measured 7.8 ms/iteration at B=1024
+(scripts/fwd_probe.py), dominated by per-scan-step dispatch and the df32
+step's op count, NOT by layout padding (a lane-dense XLA variant measured
+the same 8 ms). This kernel removes the per-step overhead the same way the
+select/backward kernels do (ops/pallas_lft.py, ops/pallas_backward.py):
+
+- grid = (N,): ONE grid step per time step with the whole padded batch in
+  lanes — the (hi, lo) state carry lives in VMEM scratch across the scan,
+- the system dynamics run INSIDE the kernel via the trailing-batch
+  `xdot_rows` form (models/base.py) with `jax.jvp` propagating the lo half
+  (same compensated df32 integration as solver/rollout_df.py),
+- all 5 alpha rollouts share each step: the alpha axis rides the sublanes
+  of (n, A, B) blocks,
+- the truncated true cost (solver/cost.py cost_true) accumulates inline —
+  masked stage costs in a df32 running sum, terminal injected per-lane at
+  k+1 == T* — so only the (A, B) cost row and the trajectories leave.
+
+Semantics: identical to forward.forward_linesearch with df_forward=True
+(first-improving alpha, non-finite-anywhere rejection, nominal controls
+beyond T* — /root/reference/solver.py:233-286); values differ from the
+batch-leading XLA path only by float non-associativity of the rows-form
+products and the df32 (vs tree-reduction f32) cost accumulation
+(measured J rel diff ~1e-7 at B=1024; property-tested in
+tests/test_pallas_forward.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from timeopt_tpu.models.base import System
+from timeopt_tpu.ops.df32 import df_add, two_prod
+from timeopt_tpu.ops.wrap import angle_normalize
+from timeopt_tpu.solver.rollout_df import INV_TWO_PI, TWO_PI_HI, TWO_PI_LO
+
+
+def _df_wrap_rows(xh, xl, wrap_vec):
+    """rollout_df._df_wrap in rows layout (subtract the nearest df32
+    multiple of 2*pi from the wrapped components)."""
+    k = jnp.round(xh * INV_TWO_PI) * wrap_vec
+    ph, pe = two_prod(k, TWO_PI_HI)
+    return df_add((xh, xl), (-ph, -(pe + k * TWO_PI_LO)))
+
+
+def _quad(M, v):
+    """0.5 v' M v batched over trailing axes: M (d, d, B), v (d, A, B) ->
+    (A, B). Unrolled broadcasted FMAs (pure VPU work)."""
+    d = v.shape[0]
+    acc = None
+    for i in range(d):
+        mv = None
+        for j in range(d):
+            t = M[i, j][None, :] * v[j]
+            mv = t if mv is None else mv + t
+        t = v[i] * mv
+        acc = t if acc is None else acc + t
+    return 0.5 * acc
+
+
+def _fwd_kernel(
+    xk_ref, uk_ref, kk_ref, kap_ref,
+    xg_ref, urf_ref, q_ref, r_ref, qf_ref, w_ref, ts_ref, wm_ref, av_ref,
+    xs_ref, us_ref, j_ref,
+    xh_s, xl_s, rh_s, rl_s, jt_s, fa_s, ft_s, fu_s,
+    *, system: System, a_vec, N: int,
+):
+    k = pl.program_id(0)
+    Xk = xk_ref[0]  # (n, B)
+    Uk = uk_ref[0]  # (m, B)
+    Kk = kk_ref[0]  # (m, n, B)
+    kapk = kap_ref[0]  # (m, B)
+    xg = xg_ref[...]  # (n, B)
+    urf = urf_ref[...]  # (m, B)
+    Q = q_ref[...]  # (n, n, B)
+    R = r_ref[...]  # (m, m, B)
+    Qf = qf_ref[...]  # (n, n, B)
+    w = w_ref[0]  # (B,)
+    T_i = ts_ref[0].astype(jnp.int32)  # (B,) — T* exact in f32 for T <= 2^24
+    wm = wm_ref[...]  # (n, B) 0/1 error-wrap mask
+
+    n, B = Xk.shape
+    m = Uk.shape[0]
+    A = len(a_vec)
+    dtype = Xk.dtype
+    a_col = av_ref[...]  # (A, B) — alphas broadcast over lanes
+    wm3 = wm[:, None, :]  # (n, 1, B)
+    xg3 = xg[:, None, :]  # (n, 1, B)
+
+    @pl.when(k == 0)
+    def _():
+        xh_s[...] = jnp.broadcast_to(Xk[:, None, :], (n, A, B))
+        xl_s[...] = jnp.zeros((n, A, B), dtype)
+        rh_s[...] = jnp.zeros((A, B), dtype)
+        rl_s[...] = jnp.zeros((A, B), dtype)
+        jt_s[...] = jnp.zeros((A, B), dtype)
+        x0fin = jnp.broadcast_to(
+            jnp.all(jnp.isfinite(Xk), axis=0)[None, :], (A, B)
+        ).astype(dtype)
+        fa_s[...] = x0fin  # whole-trajectory finiteness (incl. X[0])
+        ft_s[...] = x0fin  # finiteness over rows k <= T*
+        fu_s[...] = jnp.ones((A, B), dtype)
+
+    xh = xh_s[...]  # (n, A, B)
+    xl = xl_s[...]
+    active = (k < T_i)[None, :]  # (1, B) -> broadcasts over A
+
+    # ---- closed-loop control: u = U_k + [k < T*](K wrap(x - x̄) + alpha kap)
+    dh, dl = _df_wrap_rows(xh - Xk[:, None, :], xl, wm3)
+    dx = dh + dl
+    du = None
+    for j in range(n):
+        t = Kk[:, j, :][:, None, :] * dx[j][None, :, :]
+        du = t if du is None else du + t
+    du = du + a_col[None, :, :] * kapk[:, None, :]  # (m, A, B)
+    u = Uk[:, None, :] + jnp.where(active[None], du, jnp.zeros_like(du))
+
+    # ---- stage cost on the CURRENT state (cost_true: l_k for k < T*)
+    e = xh - xg3
+    e = jnp.where(wm3 > 0.5, angle_normalize(e), e)
+    du_r = u - urf[:, None, :]
+    l = _quad(Q, e) + _quad(R, du_r) + w[None, :]
+    l = jnp.where(active, l, jnp.zeros_like(l))
+    rh, rl = df_add((rh_s[...], rl_s[...]), (l, jnp.zeros_like(l)))
+    rh_s[...] = rh
+    rl_s[...] = rl
+
+    # ---- compensated df32 Euler step (rollout_df.df_step, norm_guard=False)
+    dt64 = float(system.dt)
+    dt_hi = jnp.asarray(np.float32(dt64), dtype)
+    dt_lo = jnp.asarray(np.float32(dt64 - float(np.float32(dt64))), dtype)
+    d, dj = jax.jvp(lambda x: system.xdot_rows(x, u), (xh,), (xl,))
+    ph, pe = two_prod(dt_hi, d)
+    nh, nl = df_add((xh, xl), (ph, pe + (dt_hi * dj + dt_lo * d)))
+    if system.wrap_idx:
+        sw = np.zeros(n, np.float32)
+        for i in system.wrap_idx:
+            sw[int(i)] = 1.0
+        nh, nl = _df_wrap_rows(nh, nl, jnp.asarray(sw, dtype)[:, None, None])
+    if system.guard_rows is not None:
+        bad = system.guard_rows(xh, u)  # (A, B)
+        poison = jnp.where(
+            bad, jnp.asarray(jnp.nan, dtype), jnp.asarray(0.0, dtype)
+        )
+        nh = nh + poison
+        nl = nl + poison
+
+    # ---- terminal injection where k+1 == T* (each lane exactly once)
+    is_term = ((k + 1) == T_i)[None, :]  # (1, B)
+
+    @pl.when(jnp.any(is_term))
+    def _():
+        eT = nh - xg3
+        eT = jnp.where(wm3 > 0.5, angle_normalize(eT), eT)
+        th_, tl_ = df_add((rh, rl), (_quad(Qf, eT), jnp.zeros((A, B), dtype)))
+        jt_s[...] = jnp.where(is_term, th_ + tl_, jt_s[...])
+
+    # ---- finiteness flags (cost_true x_ok/u_ok + the reference's
+    # non-finite-anywhere alpha rejection)
+    nfin = jnp.all(jnp.isfinite(nh), axis=0).astype(dtype)  # (A, B)
+    one = jnp.ones_like(nfin)
+    fa_s[...] = fa_s[...] * nfin
+    ft_s[...] = ft_s[...] * jnp.where((k + 1 <= T_i)[None, :], nfin, one)
+    ufin = jnp.all(jnp.isfinite(u), axis=0).astype(dtype)
+    fu_s[...] = fu_s[...] * jnp.where(active, ufin, one)
+
+    xh_s[...] = nh
+    xl_s[...] = nl
+    xs_ref[0] = nh
+    us_ref[0] = u
+
+    @pl.when(k == N - 1)
+    def _():
+        tot = jt_s[...]
+        ok = (
+            (ft_s[...] > 0.5)
+            & (fu_s[...] > 0.5)
+            & (T_i > 0)[None, :]
+            & jnp.isfinite(tot)
+            & (fa_s[...] > 0.5)
+        )
+        j_ref[...] = jnp.where(ok, tot, jnp.asarray(jnp.inf, dtype))
+
+
+def linesearch_lanes_df(
+    system: System,
+    a_vec,
+    X, U, K, kappa, T_star, J_old,
+    xg, u_ref, Qm, Rm, Qf, w, wrap_mask,
+    *,
+    interpret: bool = False,
+):
+    """Batched all-alphas line search through the fused rollout kernel.
+
+    Batch-leading inputs (B padded to a lane multiple by the caller):
+    X (B, N+1, n), U (B, N, m), K (B, N, m, n), kappa (B, N, m),
+    T_star (B,), J_old (B,); problem data xg (B, n), u_ref (B, m),
+    Qm/Rm/Qf (B, d, d), w (B,), wrap_mask (B, n).
+    Returns (Xn, Un, Jn, accepted) batch-leading with the selection
+    semantics of forward.forward_linesearch.
+    """
+    B, Np1, n = X.shape
+    N = Np1 - 1
+    m = U.shape[-1]
+    A = len(a_vec)
+    dtype = X.dtype
+
+    Xt = jnp.transpose(X[:, :-1], (1, 2, 0))  # (N, n, B)
+    Ut = jnp.transpose(U, (1, 2, 0))  # (N, m, B)
+    Kt = jnp.transpose(K, (1, 2, 3, 0))  # (N, m, n, B)
+    kapt = jnp.transpose(kappa, (1, 2, 0))  # (N, m, B)
+    xgt = jnp.transpose(xg, (1, 0))
+    urt = jnp.transpose(u_ref, (1, 0))
+    Qt = jnp.transpose(Qm, (1, 2, 0))
+    Rt = jnp.transpose(Rm, (1, 2, 0))
+    Qft = jnp.transpose(Qf, (1, 2, 0))
+    wt = w[None, :]
+    Tt = T_star.astype(dtype)[None, :]
+    wmt = jnp.transpose(wrap_mask, (1, 0)).astype(dtype)
+    avt = jnp.broadcast_to(
+        jnp.asarray(np.asarray(a_vec, np.float32), dtype)[:, None], (A, B)
+    )
+
+    step4 = lambda d1, d2: pl.BlockSpec(  # noqa: E731
+        (1, d1, d2, B), lambda k: (k, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    step3 = lambda d1: pl.BlockSpec(  # noqa: E731
+        (1, d1, B), lambda k: (k, 0, 0), memory_space=pltpu.VMEM
+    )
+    cst2 = lambda d1: pl.BlockSpec(  # noqa: E731
+        (d1, B), lambda k: (0, 0), memory_space=pltpu.VMEM
+    )
+    cst3 = lambda d1, d2: pl.BlockSpec(  # noqa: E731
+        (d1, d2, B), lambda k: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    kernel = functools.partial(_fwd_kernel, system=system, a_vec=tuple(a_vec), N=N)
+    xs, us, Js = pl.pallas_call(
+        kernel,
+        grid=(N,),
+        in_specs=[
+            step3(n), step3(m), step4(m, n), step3(m),
+            cst2(n), cst2(m), cst3(n, n), cst3(m, m), cst3(n, n),
+            cst2(1), cst2(1), cst2(n), cst2(A),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n, A, B), lambda k: (k, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, A, B), lambda k: (k, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((A, B), lambda k: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, n, A, B), dtype),
+            jax.ShapeDtypeStruct((N, m, A, B), dtype),
+            jax.ShapeDtypeStruct((A, B), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, A, B), dtype),
+            pltpu.VMEM((n, A, B), dtype),
+        ] + [pltpu.VMEM((A, B), dtype) for _ in range(6)],
+        interpret=interpret,
+    )(Xt, Ut, Kt, kapt, xgt, urt, Qt, Rt, Qft, wt, Tt, wmt, avt)
+
+    # ---- first-improving-alpha selection (forward.forward_linesearch)
+    improved = Js < J_old[None, :]
+    accepted = jnp.any(improved, axis=0)  # (B,)
+    idx = jnp.argmax(improved, axis=0)  # (B,)
+
+    def sel(S):
+        # per-lane alpha pick as A-1 unrolled `where`s: a take_along_axis
+        # gather here measured ~20 ms at B=1024 (TPU gathers are slow);
+        # `where` keeps it lane-dense and NaN-safe (rejected alphas may
+        # carry poisoned trajectories — a one-hot multiply would leak NaN)
+        acc = S[:, :, 0, :]
+        for a in range(1, S.shape[2]):
+            acc = jnp.where(idx[None, None, :] == a, S[:, :, a, :], acc)
+        return acc
+
+    Xsel = jnp.concatenate([Xt[:1], sel(xs)], axis=0)  # (N+1, n, B)
+    Usel = sel(us)  # (N, m, B)
+
+    acc3 = accepted[None, None, :]
+    Xfull = jnp.transpose(X, (1, 2, 0))  # (N+1, n, B)
+    Xn = jnp.transpose(jnp.where(acc3, Xsel, Xfull), (2, 0, 1))
+    Un = jnp.transpose(jnp.where(acc3, Usel, Ut), (2, 0, 1))
+    Jn = jnp.where(accepted, jnp.take_along_axis(Js, idx[None, :], axis=0)[0], J_old)
+    return Xn, Un, Jn, accepted

@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from timeopt_tpu.ops.precision import full_matmul_precision
+
 
 # =============================================================================
 # Lanes-layout building blocks (arrays are (rows, cols, lanes) values)
@@ -238,6 +240,7 @@ def lft_query_lanes(
 # =============================================================================
 
 
+@full_matmul_precision
 def propagator_select_lanes(
     A_aug: jax.Array,
     B_aug: jax.Array,
@@ -423,6 +426,7 @@ def _df_select_kernel(
     )
 
 
+@full_matmul_precision
 def propagator_select_lanes_df(
     A_aug: jax.Array,
     B_aug: jax.Array,
@@ -600,6 +604,7 @@ def _df_select_fused_kernel(
     )
 
 
+@full_matmul_precision
 def propagator_select_lanes_df_fused(
     A: jax.Array,
     Bm: jax.Array,

@@ -16,6 +16,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from timeopt_tpu.ops.precision import full_matmul_precision
 from timeopt_tpu.models.base import Problem, System
 from timeopt_tpu.ops.linalg import chol_lower, psd_inv, sym
 from timeopt_tpu.ops.wrap import wrap_error
@@ -53,6 +54,7 @@ def homogeneous_scales(prob: Problem, X: jax.Array) -> jax.Array:
     return jnp.sqrt(jnp.maximum(corner / qbar, 1e-12))
 
 
+@full_matmul_precision
 def build_augmented(
     system: System,
     prob: Problem,
@@ -142,6 +144,7 @@ class FusedInputs(NamedTuple):
     s: jax.Array  # (N+1,) homogeneous scales (J carries s_0^2)
 
 
+@full_matmul_precision
 def build_fused_inputs(
     system: System,
     prob: Problem,
@@ -184,6 +187,7 @@ def build_fused_inputs(
     return FusedInputs(A=A, B=B, vecs=vecs, scal=scal, Qq=Qq, R_inv=R_inv, Lt=Lt, s=s)
 
 
+@full_matmul_precision
 def build_terminal_factors(
     prob: Problem, X: jax.Array, *, rho_reg: float = 1e-12, s: jax.Array = None
 ) -> jax.Array:
@@ -211,6 +215,7 @@ def build_terminal_factors(
     return C  # (N, n, n+1)
 
 
+@full_matmul_precision
 def build_terminal_blocks(
     prob: Problem, X: jax.Array, *, rho_reg: float = 1e-12, s: jax.Array = None
 ) -> jax.Array:

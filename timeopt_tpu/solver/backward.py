@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from timeopt_tpu.models.base import Problem, System
+from timeopt_tpu.ops.precision import full_matmul_precision
 from timeopt_tpu.ops.linalg import gj_solve, spd_check, sym
 from timeopt_tpu.ops.wrap import wrap_error
 from timeopt_tpu.solver.cost import extra_cost_terms
@@ -35,6 +36,7 @@ class BackwardResult(NamedTuple):
     ok: jax.Array  # () bool — all active steps SPD & finite
 
 
+@full_matmul_precision
 def stage_expansion(system: System, prob: Problem, X: jax.Array, U: jax.Array):
     """Per-step cost expansion terms along the trajectory:
     e, du, lx, lu, l0, Qstage — (N, ...) arrays."""
@@ -160,6 +162,7 @@ def _backward_vmap_rule(axis_size, in_batched, A, B, lx, lu, Qstage, QfeT, eT_ok
     return (kappa, K, ok), (True, True, True)
 
 
+@full_matmul_precision
 def backward_truncated(
     system: System,
     prob: Problem,

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from timeopt_tpu.models.base import Problem, System
+from timeopt_tpu.ops.precision import full_matmul_precision
 from timeopt_tpu.ops.wrap import wrap_error
 
 
@@ -49,6 +50,7 @@ def extra_cost_terms(system: System, X: jax.Array, U: jax.Array):
     return c, cx, cxx
 
 
+@full_matmul_precision
 def stage_costs(system: System, prob: Problem, X: jax.Array, U: jax.Array) -> jax.Array:
     """l_k = 0.5 e_k'Q e_k + 0.5 du_k'R du_k + w (+ extra), k = 0..N-1."""
     e = wrap_error(X[:-1] - prob.xg, prob.wrap_mask)  # (N, n)
@@ -63,11 +65,13 @@ def stage_costs(system: System, prob: Problem, X: jax.Array, U: jax.Array) -> ja
     return l
 
 
+@full_matmul_precision
 def terminal_cost(prob: Problem, xT: jax.Array) -> jax.Array:
     eT = wrap_error(xT - prob.xg, prob.wrap_mask)
     return 0.5 * eT @ (prob.Qf @ eT)
 
 
+@full_matmul_precision
 def cost_true(
     system: System, prob: Problem, X: jax.Array, U: jax.Array, T_star: jax.Array
 ) -> jax.Array:
@@ -78,10 +82,23 @@ def cost_true(
     k = jnp.arange(N)
     active = k < T_star
     l = stage_costs(system, prob, X, U)
-    run = jnp.sum(jnp.where(active, l, 0.0))
+    masked = jnp.where(active, l, jnp.zeros_like(l))
 
     xT = jnp.take(X, T_star, axis=0, mode="clip")
-    total = run + terminal_cost(prob, xT)
+    term = terminal_cost(prob, xT)
+    if X.dtype == jnp.float32:
+        # compensated accumulation: a plain f32 tree-sum of ~N stage terms
+        # carries O(log N * eps * J) ~ 2e-4 relative noise (measured at
+        # B=1024 quadrotor) — the same scale as the accept/convergence
+        # comparisons this value feeds. df32 keeps the cost consistent with
+        # the fused forward kernel's in-kernel accumulation
+        # (ops/pallas_forward.py) and with the f64 reference semantics.
+        from timeopt_tpu.ops.df32 import df_add, df_sum
+
+        sh, sl = df_add(df_sum(masked, axis=0), (term, jnp.zeros_like(term)))
+        total = sh + sl
+    else:
+        total = jnp.sum(masked) + term
 
     x_ok = jnp.all(
         jnp.where(jnp.arange(N + 1) <= T_star, jnp.all(jnp.isfinite(X), axis=-1), True)
@@ -91,6 +108,7 @@ def cost_true(
     return jnp.where(ok, total, jnp.asarray(jnp.inf, total.dtype))
 
 
+@full_matmul_precision
 def nominal_cost_curve(system: System, prob: Problem, X: jax.Array, U: jax.Array) -> jax.Array:
     """J_nom(T) for T = 1..T_max of the current nominal (running cumsum +
     terminal at each step); +inf below T_min or when the nominal is

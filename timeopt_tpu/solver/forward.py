@@ -11,6 +11,7 @@ problem axis).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -18,6 +19,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from timeopt_tpu.models.base import Problem, System
+from timeopt_tpu.ops.precision import full_matmul_precision
 from timeopt_tpu.ops.wrap import wrap_error
 from timeopt_tpu.solver.cost import cost_true
 
@@ -59,6 +61,82 @@ def rollout_with_gains(
     return Xn, Un
 
 
+def _kernel_applicable(system: System, dtype, df_forward: bool) -> bool:
+    """Static gate for the fused Pallas line-search kernel
+    (ops/pallas_forward.py): TPU + f32 + df rollout + rows-form dynamics +
+    no extra stage cost."""
+    if not (df_forward and dtype == jnp.float32):
+        return False
+    if system.xdot_rows is None or system.extra_cost is not None:
+        return False
+    if (system.guard is not None) != (system.guard_rows is not None):
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+@functools.lru_cache(maxsize=None)
+def _linesearch_core(system: System, alphas: tuple):
+    """custom_vmap'd all-alphas line search (df rollout): the unbatched def
+    keeps the reference path; under a problem-batch vmap it reroutes to the
+    lane-dense trailing-batch implementation (forward_trail.py) — same
+    pattern as the select/backward custom_vmap kernels."""
+
+    def _unbatched(X, U, K, kappa, T_star, J_old, xg, u_ref, Qm, Rm, Qf, w, wrap_mask):
+        from timeopt_tpu.models.base import Problem
+        from timeopt_tpu.solver.rollout_df import rollout_with_gains_df
+
+        N = U.shape[0]
+        prob = Problem(
+            x0=X[0], xg=xg, u_ref=u_ref, Q=Qm, R=Rm, Qf=Qf, w=w,
+            wrap_mask=wrap_mask, N=N, T_min=1, T_max=N,
+        )
+
+        def try_alpha(a):
+            Xn, Un = rollout_with_gains_df(system, prob, X, U, K, kappa, T_star, a)
+            finite = jnp.all(jnp.isfinite(Xn))
+            Jn = cost_true(system, prob, Xn, Un, T_star)
+            Jn = jnp.where(finite, Jn, jnp.asarray(jnp.inf, Jn.dtype))
+            return Xn, Un, Jn
+
+        a_vec = jnp.asarray(alphas, dtype=X.dtype)
+        Xs, Us, Js = jax.vmap(try_alpha)(a_vec)
+        improved = Js < J_old
+        accepted = jnp.any(improved)
+        idx = jnp.argmax(improved)
+        Xn = jnp.where(accepted, Xs[idx], X)
+        Un = jnp.where(accepted, Us[idx], U)
+        Jn = jnp.where(accepted, Js[idx], J_old)
+        return Xn, Un, Jn, accepted
+
+    @jax.custom_batching.custom_vmap
+    def core(X, U, K, kappa, T_star, J_old, xg, u_ref, Qm, Rm, Qf, w, wrap_mask):
+        return _unbatched(X, U, K, kappa, T_star, J_old, xg, u_ref, Qm, Rm, Qf, w, wrap_mask)
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = [
+            a if b else jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
+            for a, b in zip(args, in_batched)
+        ]
+        X = args[0]
+        if _kernel_applicable(system, X.dtype, True):
+            from timeopt_tpu.ops.pallas_forward import linesearch_lanes_df
+            from timeopt_tpu.solver.horizon import _pad_batch
+
+            padded, Bb = _pad_batch(list(args))
+            Xn, Un, Jn, acc = linesearch_lanes_df(system, alphas, *padded)
+            out = (Xn[:Bb], Un[:Bb], Jn[:Bb], acc[:Bb])
+        else:
+            out = jax.vmap(_unbatched)(*args)
+        return out, (True, True, True, True)
+
+    return core
+
+
+@full_matmul_precision
 def forward_linesearch(
     system: System,
     prob: Problem,
@@ -70,6 +148,15 @@ def forward_linesearch(
     alphas=(1.0, 0.5, 0.25, 0.1, 0.05),
     df_forward: bool = False,
 ) -> LinesearchResult:
+    if df_forward and _kernel_applicable(system, X.dtype, df_forward):
+        J_old = cost_true(system, prob, X, U, T_star)
+        core = _linesearch_core(system, tuple(alphas))
+        Xn, Un, Jn, accepted = core(
+            X, U, K, kappa, T_star, J_old,
+            prob.xg, prob.u_ref, prob.Q, prob.R, prob.Qf, prob.w, prob.wrap_mask,
+        )
+        return LinesearchResult(X=Xn, U=Un, J=Jn, accepted=accepted)
+
     if df_forward:
         from timeopt_tpu.solver.rollout_df import rollout_with_gains_df as _roll
     else:

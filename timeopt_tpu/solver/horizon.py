@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from timeopt_tpu.ops.precision import full_matmul_precision
 from timeopt_tpu.models.base import Problem, System
 from timeopt_tpu.ops.linalg import psd_inv, psd_solve, sym
 from timeopt_tpu.ops.wrap import wrap_error
@@ -150,6 +151,7 @@ def propagator_J_curve_factored(
     return 0.5 * y[..., -1]
 
 
+@full_matmul_precision
 def propagator_select(
     blocks: AugmentedBlocks,
     terminal: jax.Array,
@@ -298,6 +300,7 @@ def _make_bruteforce_cv(lm_lambda: float, psd_levels: int):
     return cv
 
 
+@full_matmul_precision
 def bruteforce_J_curve(
     system: System,
     prob: Problem,

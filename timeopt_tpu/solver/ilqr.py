@@ -26,6 +26,7 @@ from jax import lax
 from flax import struct
 
 from timeopt_tpu.models.base import Problem, System
+from timeopt_tpu.ops.precision import full_matmul_precision
 from timeopt_tpu.solver.augmented import (
     build_augmented,
     build_terminal_blocks,
@@ -186,6 +187,7 @@ def _on_tpu() -> bool:
         return False
 
 
+@full_matmul_precision
 def _select_curve(system: System, prob: Problem, opts: SolveOptions, X, U, A, B):
     """Method-specific J(T) selection curve over T = 1..T_max."""
     if opts.select_dtype is not None:
@@ -410,6 +412,7 @@ def _solve_curve_methods(
     )
 
 
+@full_matmul_precision
 def _solve_traced(system: System, opts: SolveOptions, prob: Problem, U_init: jax.Array):
     if opts.method in ("propagator", "bruteforce"):
         return _solve_curve_methods(system, opts, prob, U_init)

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from timeopt_tpu.models.base import Problem, System
+from timeopt_tpu.ops.precision import full_matmul_precision
 from timeopt_tpu.ops.df32 import df_add, quick_two_sum, two_prod
 from timeopt_tpu.ops.wrap import wrap_error
 
@@ -101,6 +102,7 @@ def df_step(system: System, xh, xl, u, *, norm_guard: bool, wrap_vec):
     return nh + poison, nl + poison
 
 
+@full_matmul_precision
 def rollout_df(system: System, prob: Problem, x0: jax.Array, U: jax.Array) -> jax.Array:
     """df32 analogue of cost.rollout (same NaN-poisoning semantics)."""
     wrap_vec = _wrap_vec(system, prob.n)
@@ -114,6 +116,7 @@ def rollout_df(system: System, prob: Problem, x0: jax.Array, U: jax.Array) -> ja
     return jnp.concatenate([x0[None, :], Xtail], axis=0)
 
 
+@full_matmul_precision
 def rollout_with_gains_df(
     system: System,
     prob: Problem,
