@@ -34,6 +34,23 @@ in the problem statement.
   assoc    — time-on-lanes Hillis-Steele df32 select (independent impl)
   bf       — df32 brute-force value expansion (independent oracle impl)
 
+ROUND-3 RESOLUTION (ITER0=1 on hardware): the iterate-0 anomaly was BF16
+MATMUL CONTAMINATION of the XLA block assembly — f32 einsums (Q e, e'Qe
+corner) lower to the MXU at bfloat16 default precision, so far-from-goal
+nominals (e ~ 2-3) put O(0.5) noise on the Q_aug corner entries, exactly
+the observed curve error; near-goal (final) trajectories have small e,
+which is why per-iterate selection probed exact there. After forcing
+float32 dot precision on the assembly path (ops/precision.py), all four
+implementations pick argmin=56 == the f64 reference on the deterministic
+iterate-0 nominal, with max curve |delta| 1e-4 (fused/generic/assoc) and
+5e-3 (bf, which assembles lx/lu differently):
+
+  fused/generic/assoc  argmin=56  max|d|[40:] = 0.0000x
+  bf                   argmin=56  max|d|[40:] = 0.0048
+
+Downstream: quadrotor oracle exact T*-match 120/128 -> 126/128 (both
+remaining misses +-1-step landscape flat ties), segway/ballbot -> 128/128.
+
 Usage:
   PYTHONPATH=/root/repo python scripts/oracle_match.py tpu   # artifact w/ X,U
   PYTHONPATH=/root/repo python scripts/tail_spike_probe.py cpu   # writes f64 ref
