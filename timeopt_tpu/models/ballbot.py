@@ -26,15 +26,21 @@ L_BODY = 0.55
 
 TOTAL_MASS = M_EFF + M_BODY
 POLEMASS_LENGTH = M_BODY * L_BODY
+# Constant divisions are written as multiplications by the precomputed
+# reciprocal: Mosaic and XLA fold a divide-by-constant differently (2-ulp
+# disagreement measured on TPU, models/quadrotor.py note), and the fused
+# forward kernel (ops/pallas_forward.py) traces this xdot in Mosaic.
+_INV_TOTAL_MASS = 1.0 / TOTAL_MASS
+_INV_R_BALL = 1.0 / R_BALL
 
 
 def xdot(x: jax.Array, u: jax.Array) -> jax.Array:
     x_dot, th, th_dot = x[1], x[2], x[3]
-    force = u[0] / R_BALL
+    force = u[0] * _INV_R_BALL
     s, c = jnp.sin(th), jnp.cos(th)
-    temp = (force + POLEMASS_LENGTH * th_dot * th_dot * s) / TOTAL_MASS
+    temp = (force + POLEMASS_LENGTH * th_dot * th_dot * s) * _INV_TOTAL_MASS
     th_acc = (G * s - c * temp) / (L_BODY * (4.0 / 3.0 - M_BODY * c * c / TOTAL_MASS))
-    x_acc = temp - POLEMASS_LENGTH * th_acc * c / TOTAL_MASS
+    x_acc = temp - POLEMASS_LENGTH * th_acc * c * _INV_TOTAL_MASS
     return jnp.stack([x_dot, x_acc, th_dot, th_acc])
 
 
@@ -47,6 +53,8 @@ SYSTEM = System(
     dt=DT,
     step=step,
     xdot=xdot,
+    # leading-axis indexing + scalar constants: its own rows form
+    xdot_rows=xdot,
     wrap_idx=(2,),
     sigma_x0=(0.02, 0.02, 0.02, 0.02),
     sigma_xg=(0.0, 0.0, 0.0, 0.0),

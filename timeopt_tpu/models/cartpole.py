@@ -22,6 +22,11 @@ M_POLE = 0.1
 LENGTH = 0.5  # half-length
 TOTAL_MASS = M_CART + M_POLE
 POLEMASS_LENGTH = M_POLE * LENGTH
+# Constant divisions are written as multiplications by the precomputed
+# reciprocal: Mosaic and XLA fold a divide-by-constant differently (2-ulp
+# disagreement measured on TPU, models/quadrotor.py note), and the fused
+# forward kernel (ops/pallas_forward.py) traces this xdot in Mosaic.
+_INV_TOTAL_MASS = 1.0 / TOTAL_MASS
 
 
 def xdot(x: jax.Array, u: jax.Array) -> jax.Array:
@@ -32,11 +37,11 @@ def xdot(x: jax.Array, u: jax.Array) -> jax.Array:
     costh = jnp.cos(th_u)
     sinth = jnp.sin(th_u)
 
-    temp = (force + POLEMASS_LENGTH * th_dot * th_dot * sinth) / TOTAL_MASS
+    temp = (force + POLEMASS_LENGTH * th_dot * th_dot * sinth) * _INV_TOTAL_MASS
     denom = LENGTH * (4.0 / 3.0 - M_POLE * costh * costh / TOTAL_MASS)
 
     th_acc = (G * sinth - costh * temp) / denom
-    x_acc = temp - POLEMASS_LENGTH * th_acc * costh / TOTAL_MASS
+    x_acc = temp - POLEMASS_LENGTH * th_acc * costh * _INV_TOTAL_MASS
 
     return jnp.stack([x_dot, x_acc, th_dot, th_acc])
 
@@ -50,6 +55,9 @@ SYSTEM = System(
     dt=DT,
     step=step,
     xdot=xdot,
+    # xdot is written against leading-axis state indexing with scalar
+    # constants only, so it is its own trailing-batch rows form
+    xdot_rows=xdot,
     wrap_idx=(2,),
     sigma_x0=(0.0, 0.0, 0.0, 0.0),
     sigma_xg=(0.0, 0.0, 0.0, 0.0),

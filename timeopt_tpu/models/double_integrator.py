@@ -27,6 +27,8 @@ SYSTEM = System(
     dt=DT,
     step=step,
     xdot=xdot,
+    # leading-axis indexing only: its own rows form
+    xdot_rows=xdot,
     sigma_x0=(0.2, 0.2),
     sigma_xg=(0.0, 0.0),
 )

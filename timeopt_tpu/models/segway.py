@@ -49,6 +49,8 @@ SYSTEM = System(
     dt=DT,
     step=step,
     xdot=xdot,
+    # leading-axis indexing + scalar constants: its own rows form
+    xdot_rows=xdot,
     wrap_idx=(2,),
     sigma_x0=(0.02, 0.02, 0.02, 0.02),
     sigma_xg=(0.0, 0.0, 0.0, 0.0),

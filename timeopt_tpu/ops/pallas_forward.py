@@ -141,10 +141,14 @@ def _fwd_kernel(
     ph, pe = two_prod(dt_hi, d)
     nh, nl = df_add((xh, xl), (ph, pe + (dt_hi * dj + dt_lo * d)))
     if system.wrap_idx:
-        sw = np.zeros(n, np.float32)
+        # static in-state wrap set, built from an in-kernel iota (Pallas
+        # rejects captured constant arrays)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+        swm = None
         for i in system.wrap_idx:
-            sw[int(i)] = 1.0
-        nh, nl = _df_wrap_rows(nh, nl, jnp.asarray(sw, dtype)[:, None, None])
+            t = rows == int(i)
+            swm = t if swm is None else (swm | t)
+        nh, nl = _df_wrap_rows(nh, nl, swm.astype(dtype))
     if system.guard_rows is not None:
         bad = system.guard_rows(xh, u)  # (A, B)
         poison = jnp.where(
