@@ -226,3 +226,11 @@ def backward_lanes_df(
     K_b = jnp.transpose(K, (3, 0, 1, 2))  # (B, N, m, n)
     ok_b = ok[0, 0, :] > 0.5  # row t=0, written by the last grid step
     return kappa_b, K_b, ok_b
+
+
+# Shared jit: the solver instantiates the backward kernel twice per trace
+# (warm start + loop body); caching the trace by avals halves its share of
+# the cold compile (see ops/pallas_lft.py note).
+backward_lanes_df_jit = jax.jit(
+    backward_lanes_df, static_argnames=("block_b", "interpret")
+)

@@ -296,3 +296,9 @@ def linesearch_lanes_df(
     Un = jnp.transpose(jnp.where(acc3, Usel, Ut), (2, 0, 1))
     Jn = jnp.where(accepted, jnp.take_along_axis(Js, idx[None, :], axis=0)[0], J_old)
     return Xn, Un, Jn, accepted
+
+
+# Shared jit (see ops/pallas_lft.py note): system and a_vec are static.
+linesearch_lanes_df_jit = jax.jit(
+    linesearch_lanes_df, static_argnums=(0, 1), static_argnames=("interpret",)
+)

@@ -671,3 +671,18 @@ def propagator_select_lanes_df_fused(
         interpret=interpret,
     )(At, Bt, Vt, St, iqh, iql, Rt, w0h, w0l)
     return jnp.transpose(out[:, 0, :], (1, 0))
+
+
+# Module-level jitted entries: the solver instantiates each kernel at least
+# twice per trace (warm start + loop body; ilqr.py _solve_curve_methods).
+# A shared jit caches the trace/lowering by avals, so the ~20k-term df
+# kernel bodies are traced ONCE per shape instead of once per call site —
+# a large share of the cold-compile time (scripts/compile_probe.py).
+propagator_select_lanes_df_jit = jax.jit(
+    propagator_select_lanes_df,
+    static_argnames=("jitter", "block_b", "t_min", "interpret"),
+)
+propagator_select_lanes_df_fused_jit = jax.jit(
+    propagator_select_lanes_df_fused,
+    static_argnames=("jitter", "block_b", "t_min", "interpret"),
+)

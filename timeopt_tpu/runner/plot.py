@@ -121,6 +121,56 @@ def boxplots(df, outdir):
     return outs
 
 
+PHASES = ("linearize", "select", "backward", "forward")
+
+
+def timing_breakdown(df, outdir):
+    """Stacked per-phase timing bars per case/solver from the suite's
+    t_linearize/t_select/t_backward/t_forward columns (`run_suite
+    --phase-timers`). Reference counterpart: the legacy pipeline's
+    "Computation Time Breakdown" panel
+    (/root/reference/ilqr_propagator.py:831-852)."""
+    cols = [f"t_{p}" for p in PHASES]
+    if not all(c in df.columns for c in cols):
+        return []
+    sub = df.dropna(subset=cols)
+    if sub.empty:
+        return []
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    cases = sorted(sub["case"].unique())
+    fig, axes = plt.subplots(1, len(cases), figsize=(3.4 * len(cases), 3.8), squeeze=False)
+    colors = dict(zip(PHASES, ("#4ECDC4", "#FF6B6B", "#95E1D3", "#FFE66D")))
+    for ci, c in enumerate(cases):
+        ax = axes[0][ci]
+        cdf = sub[sub["case"] == c].groupby("solver")[cols].first()
+        solvers = list(cdf.index)
+        x = np.arange(len(solvers))
+        bottom = np.zeros(len(solvers))
+        for p in PHASES:
+            vals = cdf[f"t_{p}"].values.astype(float)
+            ax.bar(x, vals, 0.55, bottom=bottom, label=p.capitalize(), color=colors[p])
+            bottom += vals
+        for i, tot in enumerate(bottom):
+            ax.text(i, tot, f"{tot:.3f}s", ha="center", va="bottom", fontsize=8)
+        ax.set_xticks(x)
+        ax.set_xticklabels(solvers, rotation=30, fontsize=8)
+        ax.set_title(c, fontsize=9)
+        ax.grid(True, alpha=0.3, axis="y")
+    axes[0][0].set_ylabel("time (s)")
+    axes[0][-1].legend(fontsize=8)
+    fig.suptitle("Computation time breakdown (trial 0)")
+    fig.tight_layout()
+    out = os.path.join(outdir, "timing_breakdown.png")
+    fig.savefig(out, dpi=160)
+    plt.close(fig)
+    return [out]
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--csv", type=str, default="ilqr_results/summary_all.csv")
@@ -132,7 +182,11 @@ def main(argv=None):
     if not args.all_trials:
         df = _success_only(df)
     os.makedirs(args.outdir, exist_ok=True)
-    outs = [paper_main(df, args.outdir)] + boxplots(df, args.outdir)
+    outs = (
+        [paper_main(df, args.outdir)]
+        + boxplots(df, args.outdir)
+        + timing_breakdown(df, args.outdir)
+    )
     for o in outs:
         print("wrote", o)
 

@@ -157,6 +157,15 @@ def run_case(
                 ri = solve(system, pi, options=opts)
                 jax.block_until_ready(ri)
                 per_trial_times.append(time.perf_counter() - t0)
+                # live per-trial progress with the reference's tqdm postfix
+                # fields (/root/reference/run_suite.py:113,191)
+                print(
+                    f"\r[{case}] {solver_name}: trial {i + 1}/{trials}  "
+                    f"T={int(ri.T_star)} J={float(ri.J_star):.4g} "
+                    f"t={per_trial_times[-1]*1e3:.0f}ms ",
+                    end="" if i + 1 < trials else "\n",
+                    flush=True,
+                )
         else:
             t0 = time.perf_counter()
             res = _solve_all(opts)

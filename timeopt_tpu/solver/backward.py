@@ -147,13 +147,13 @@ def _backward_vmap_rule(axis_size, in_batched, A, B, lx, lu, Qstage, QfeT, eT_ok
     ]
     A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star, lm = args
     if _pallas_applicable(A):
-        from timeopt_tpu.ops.pallas_backward import backward_lanes_df
+        from timeopt_tpu.ops.pallas_backward import backward_lanes_df_jit
         from timeopt_tpu.solver.horizon import _pad_batch
 
         padded, Bb = _pad_batch(
             [A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star, lm]
         )
-        kappa, K, ok = backward_lanes_df(*padded)
+        kappa, K, ok = backward_lanes_df_jit(*padded)
         kappa, K, ok = kappa[:Bb], K[:Bb], ok[:Bb]
     else:
         kappa, K, ok = jax.vmap(_backward_arrays)(

@@ -123,11 +123,11 @@ def _linesearch_core(system: System, alphas: tuple):
         ]
         X = args[0]
         if _kernel_applicable(system, X.dtype, True):
-            from timeopt_tpu.ops.pallas_forward import linesearch_lanes_df
+            from timeopt_tpu.ops.pallas_forward import linesearch_lanes_df_jit
             from timeopt_tpu.solver.horizon import _pad_batch
 
             padded, Bb = _pad_batch(list(args))
-            Xn, Un, Jn, acc = linesearch_lanes_df(system, alphas, *padded)
+            Xn, Un, Jn, acc = linesearch_lanes_df_jit(system, alphas, *padded)
             out = (Xn[:Bb], Un[:Bb], Jn[:Bb], acc[:Bb])
         else:
             out = jax.vmap(_unbatched)(*args)

@@ -387,12 +387,14 @@ def _make_select_cv(t_min: int):
         ]
         A_aug, B_aug, Q_aug, R_inv, C = args
         if _pallas_applicable(A_aug):
-            from timeopt_tpu.ops.pallas_lft import propagator_select_lanes_df
+            from timeopt_tpu.ops.pallas_lft import propagator_select_lanes_df_jit
 
             (A_aug, B_aug, Q_aug, R_inv, C), Bb = _pad_batch(
                 [A_aug, B_aug, Q_aug, R_inv, C]
             )
-            J = propagator_select_lanes_df(A_aug, B_aug, Q_aug, R_inv, C, t_min=t_min)
+            J = propagator_select_lanes_df_jit(
+                A_aug, B_aug, Q_aug, R_inv, C, t_min=t_min
+            )
             J = J[:Bb]
         else:
             J = jax.vmap(_select_impl)(A_aug, B_aug, Q_aug, R_inv, C)
@@ -461,10 +463,12 @@ def _make_select_fused_cv(t_min: int):
             for a, b in zip(args, in_batched)
         ]
         if _pallas_applicable(args[0]):
-            from timeopt_tpu.ops.pallas_lft import propagator_select_lanes_df_fused
+            from timeopt_tpu.ops.pallas_lft import (
+                propagator_select_lanes_df_fused_jit,
+            )
 
             padded, Bb = _pad_batch(list(args))
-            J = propagator_select_lanes_df_fused(*padded, t_min=t_min)[:Bb]
+            J = propagator_select_lanes_df_fused_jit(*padded, t_min=t_min)[:Bb]
         else:
             J = jax.vmap(impl)(*args)
         return J, True

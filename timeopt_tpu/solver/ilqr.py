@@ -132,26 +132,30 @@ def _tree_select(pred, on_true, on_false):
     return jax.tree.map(lambda a, b: jnp.where(pred, a, b), on_true, on_false)
 
 
-def _run_outer_loop(body, state: _LoopState, opts: SolveOptions) -> _LoopState:
-    """Run the outer iteration `body` (a scan-style (state, None) -> (state,
+def _run_outer_loop(
+    body, state: _LoopState, opts: SolveOptions, n_iters: Optional[int] = None
+) -> _LoopState:
+    """Run the outer iteration `body` (a scan-style (state, it) -> (state,
     None) function whose `done` flag freezes converged state) for at most
-    max_iter steps. With early_exit, a `lax.while_loop` stops as soon as the
-    whole (possibly vmapped) batch is done — the reference `break`s on the
-    same convergence test (/root/reference/solver.py:745-753); results are
-    identical either way because done lanes pass through unchanged."""
+    `n_iters` (default max_iter) steps, passing the iteration index as the
+    second argument. With early_exit, a `lax.while_loop` stops as soon as
+    the whole (possibly vmapped) batch is done — the reference `break`s on
+    the same convergence test (/root/reference/solver.py:745-753); results
+    are identical either way because done lanes pass through unchanged."""
+    n = opts.max_iter if n_iters is None else n_iters
     if opts.early_exit:
         def wcond(carry):
             it, s = carry
-            return (it < opts.max_iter) & ~s.done
+            return (it < n) & ~s.done
 
         def wbody(carry):
             it, s = carry
-            s, _ = body(s, None)
+            s, _ = body(s, it)
             return it + 1, s
 
         _, state = lax.while_loop(wcond, wbody, (jnp.asarray(0, jnp.int32), state))
         return state
-    state, _ = lax.scan(body, state, None, length=opts.max_iter)
+    state, _ = lax.scan(body, state, jnp.arange(n, dtype=jnp.int32))
     return state
 
 
@@ -300,46 +304,36 @@ def _solve_curve_methods(
     else:
         X = rollout(system, prob, prob.x0, U_init)
     U = U_init
-    A, B = linearize(system.step, X, U, opts.linearize_mode)
 
-    # ---- initial horizon guess + warm-start update at T̄
-    # (reference: solver.py:514-555)
-    J_curve0 = _select_curve(system, prob, opts, X, U, A, B)
-    T_bar = argmin_T(J_curve0, prob.T_min, prob.T_max)
-
-    lm0 = jnp.asarray(opts.lm_init, dtype)
-    bw = backward_truncated(system, prob, A, B, X, U, T_bar, lm0)
-    ls = forward_linesearch(
-        system, prob, X, U, bw.K, bw.kappa, T_bar, alphas=opts.alphas, df_forward=df_on
-    )
-    warm_ok = bw.ok & jnp.isfinite(ls.J)
-    X = jnp.where(bw.ok, ls.X, X)
-    U = jnp.where(bw.ok, ls.U, U)
-
+    # The warm-start update at T̄ (reference: solver.py:514-555) runs as
+    # iteration 0 of the SAME loop body, distinguished only by masks: the
+    # warm start records the line-search result whenever the backward pass
+    # is healthy (even without improvement — ls falls back to the nominal)
+    # and leaves the LM lambda untouched, while later iterations apply the
+    # accept/reject rule. Outcome-identical to a separate warm-start block
+    # (ls.X == X whenever nothing improves), but the program contains ONE
+    # copy of linearize/select/backward/forward instead of two — roughly
+    # halving cold trace+compile (scripts/compile_probe.py).
     hist_len = opts.max_iter + 1
-    J_hist = jnp.full((hist_len,), jnp.nan, dtype)
-    T_hist = jnp.full((hist_len,), -1, i32)
-    J_hist = jnp.where(warm_ok, J_hist.at[0].set(ls.J), J_hist)
-    T_hist = jnp.where(warm_ok, T_hist.at[0].set(T_bar), T_hist)
-
     sentinel = jnp.asarray([-1, -2, -3], i32)
     state = _LoopState(
         X=X,
         U=U,
-        lm=lm0,
-        T_bar=T_bar,
-        J_last=jnp.where(warm_ok, ls.J, jnp.asarray(jnp.inf, dtype)),
+        lm=jnp.asarray(opts.lm_init, dtype),
+        T_bar=jnp.asarray(0, i32),
+        J_last=jnp.asarray(jnp.inf, dtype),
         J_prev=jnp.asarray(jnp.inf, dtype),
-        n_acc=jnp.where(warm_ok, 1, 0).astype(i32),
-        T3=jnp.where(warm_ok, _roll3(sentinel, T_bar), sentinel),
+        n_acc=jnp.asarray(0, i32),
+        T3=sentinel,
         done=jnp.asarray(False),
-        J_curve=J_curve0,
-        J_hist=J_hist,
-        T_hist=T_hist,
+        J_curve=jnp.zeros((prob.T_max,), dtype),
+        J_hist=jnp.full((hist_len,), jnp.nan, dtype),
+        T_hist=jnp.full((hist_len,), -1, i32),
         n_fb=jnp.asarray(0, i32),
     )
 
-    def body(s: _LoopState, _):
+    def body(s: _LoopState, it):
+        warm = it == 0
         A, B = linearize(system.step, s.X, s.U, opts.linearize_mode)
         J_curve = _select_curve(system, prob, opts, s.X, s.U, A, B)
         T_star = argmin_T(J_curve, prob.T_min, prob.T_max)
@@ -356,27 +350,35 @@ def _solve_curve_methods(
             alphas=opts.alphas,
             df_forward=df_on,
         )
-        acc = bw.ok & ls.accepted & jnp.isfinite(ls.J)
+        fin = jnp.isfinite(ls.J)
+        acc = bw.ok & ls.accepted & fin
+        # bookkeeping gate: warm start records whenever the backward pass is
+        # healthy and the (possibly unimproved) line-search cost is finite
+        gate = jnp.where(warm, bw.ok & fin, acc)
 
-        n_acc = s.n_acc + acc.astype(i32)
+        n_acc = s.n_acc + gate.astype(i32)
         upd = _LoopState(
-            X=jnp.where(acc, ls.X, s.X),
-            U=jnp.where(acc, ls.U, s.U),
+            X=jnp.where(gate, ls.X, s.X),
+            U=jnp.where(gate, ls.U, s.U),
             lm=jnp.where(
-                acc, jnp.maximum(s.lm / 10.0, 1e-12), s.lm * 10.0
+                warm,
+                s.lm,
+                jnp.where(acc, jnp.maximum(s.lm / 10.0, 1e-12), s.lm * 10.0),
             ),
-            T_bar=jnp.where(acc, T_star, s.T_bar),
-            J_last=jnp.where(acc, ls.J, s.J_last),
-            J_prev=jnp.where(acc, s.J_last, s.J_prev),
+            # the warm start adopts T̄ = argmin of the initial curve
+            # unconditionally (reference: solver.py:522)
+            T_bar=jnp.where(warm | acc, T_star, s.T_bar),
+            J_last=jnp.where(gate, ls.J, s.J_last),
+            J_prev=jnp.where(gate, s.J_last, s.J_prev),
             n_acc=n_acc,
-            T3=jnp.where(acc, _roll3(s.T3, T_star), s.T3),
+            T3=jnp.where(gate, _roll3(s.T3, T_star), s.T3),
             done=s.done,
             J_curve=J_curve,
             J_hist=jnp.where(
-                acc, lax.dynamic_update_index_in_dim(s.J_hist, ls.J, s.n_acc, 0), s.J_hist
+                gate, lax.dynamic_update_index_in_dim(s.J_hist, ls.J, s.n_acc, 0), s.J_hist
             ),
             T_hist=jnp.where(
-                acc,
+                gate,
                 lax.dynamic_update_index_in_dim(s.T_hist, T_star, s.n_acc, 0),
                 s.T_hist,
             ),
@@ -396,7 +398,7 @@ def _solve_curve_methods(
 
         return _tree_select(s.done, s, upd), None
 
-    state = _run_outer_loop(body, state, opts)
+    state = _run_outer_loop(body, state, opts, n_iters=opts.max_iter + 1)
 
     return SolveResult(
         X=state.X,
