@@ -73,7 +73,7 @@ def _fwd_kernel(
     xh_s, xl_s, rh_s, rl_s, jt_s, fa_s, ft_s, fu_s,
     *, system: System, a_vec, N: int,
 ):
-    k = pl.program_id(0)
+    k = pl.program_id(1)  # grid (batch_tile, time); time innermost
     Xk = xk_ref[0]  # (n, B)
     Uk = uk_ref[0]  # (m, B)
     Kk = kk_ref[0]  # (m, n, B)
@@ -200,6 +200,7 @@ def linesearch_lanes_df(
     X, U, K, kappa, T_star, J_old,
     xg, u_ref, Qm, Rm, Qf, w, wrap_mask,
     *,
+    block_b: int = 1024,
     interpret: bool = False,
 ):
     """Batched all-alphas line search through the fused rollout kernel.
@@ -210,12 +211,32 @@ def linesearch_lanes_df(
     Qm/Rm/Qf (B, d, d), w (B,), wrap_mask (B, n).
     Returns (Xn, Un, Jn, accepted) batch-leading with the selection
     semantics of forward.forward_linesearch.
+
+    The batch tiles over the first grid axis in blocks of up to `block_b`
+    lanes (grid (B/bt, N), k innermost, carry persisting per tile — the
+    same pattern as the select/backward kernels). A single whole-batch
+    block fails to compile beyond ~1024 lanes, and the larger tile size
+    (vs their 128) keeps the per-grid-step overhead share low for this
+    flops-light kernel.
     """
-    B, Np1, n = X.shape
+    B0, Np1, n = X.shape
     N = Np1 - 1
     m = U.shape[-1]
     A = len(a_vec)
     dtype = X.dtype
+
+    bt = min(B0, block_b)
+    if B0 % bt:
+        # pad the batch to a tile multiple with the first problem's rows
+        pad = (-B0) % bt
+        padf = lambda a: jnp.concatenate(  # noqa: E731
+            [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0
+        )
+        X, U, K, kappa, T_star, J_old, xg, u_ref, Qm, Rm, Qf, w, wrap_mask = (
+            padf(a)
+            for a in (X, U, K, kappa, T_star, J_old, xg, u_ref, Qm, Rm, Qf, w, wrap_mask)
+        )
+    B = X.shape[0]
 
     Xt = jnp.transpose(X[:, :-1], (1, 2, 0))  # (N, n, B)
     Ut = jnp.transpose(U, (1, 2, 0))  # (N, m, B)
@@ -233,32 +254,37 @@ def linesearch_lanes_df(
         jnp.asarray(np.asarray(a_vec, np.float32), dtype)[:, None], (A, B)
     )
 
+    grid = (B // bt, N)
     step4 = lambda d1, d2: pl.BlockSpec(  # noqa: E731
-        (1, d1, d2, B), lambda k: (k, 0, 0, 0), memory_space=pltpu.VMEM
+        (1, d1, d2, bt), lambda i, k: (k, 0, 0, i), memory_space=pltpu.VMEM
     )
     step3 = lambda d1: pl.BlockSpec(  # noqa: E731
-        (1, d1, B), lambda k: (k, 0, 0), memory_space=pltpu.VMEM
+        (1, d1, bt), lambda i, k: (k, 0, i), memory_space=pltpu.VMEM
     )
     cst2 = lambda d1: pl.BlockSpec(  # noqa: E731
-        (d1, B), lambda k: (0, 0), memory_space=pltpu.VMEM
+        (d1, bt), lambda i, k: (0, i), memory_space=pltpu.VMEM
     )
     cst3 = lambda d1, d2: pl.BlockSpec(  # noqa: E731
-        (d1, d2, B), lambda k: (0, 0, 0), memory_space=pltpu.VMEM
+        (d1, d2, bt), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM
     )
 
     kernel = functools.partial(_fwd_kernel, system=system, a_vec=tuple(a_vec), N=N)
     xs, us, Js = pl.pallas_call(
         kernel,
-        grid=(N,),
+        grid=grid,
         in_specs=[
             step3(n), step3(m), step4(m, n), step3(m),
             cst2(n), cst2(m), cst3(n, n), cst3(m, m), cst3(n, n),
             cst2(1), cst2(1), cst2(n), cst2(A),
         ],
         out_specs=(
-            pl.BlockSpec((1, n, A, B), lambda k: (k, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, A, B), lambda k: (k, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((A, B), lambda k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, n, A, bt), lambda i, k: (k, 0, 0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, m, A, bt), lambda i, k: (k, 0, 0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((A, bt), lambda i, k: (0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((N, n, A, B), dtype),
@@ -266,9 +292,9 @@ def linesearch_lanes_df(
             jax.ShapeDtypeStruct((A, B), dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((n, A, B), dtype),
-            pltpu.VMEM((n, A, B), dtype),
-        ] + [pltpu.VMEM((A, B), dtype) for _ in range(6)],
+            pltpu.VMEM((n, A, bt), dtype),
+            pltpu.VMEM((n, A, bt), dtype),
+        ] + [pltpu.VMEM((A, bt), dtype) for _ in range(6)],
         interpret=interpret,
     )(Xt, Ut, Kt, kapt, xgt, urt, Qt, Rt, Qft, wt, Tt, wmt, avt)
 
