@@ -39,7 +39,7 @@ def xdot(x: jax.Array, u: jax.Array) -> jax.Array:
     force = u[0] * _INV_R_BALL
     s, c = jnp.sin(th), jnp.cos(th)
     temp = (force + POLEMASS_LENGTH * th_dot * th_dot * s) * _INV_TOTAL_MASS
-    th_acc = (G * s - c * temp) / (L_BODY * (4.0 / 3.0 - M_BODY * c * c / TOTAL_MASS))
+    th_acc = (G * s - c * temp) / (L_BODY * (4.0 / 3.0 - M_BODY * c * c * _INV_TOTAL_MASS))
     x_acc = temp - POLEMASS_LENGTH * th_acc * c * _INV_TOTAL_MASS
     return jnp.stack([x_dot, x_acc, th_dot, th_acc])
 

@@ -38,7 +38,7 @@ def xdot(x: jax.Array, u: jax.Array) -> jax.Array:
     sinth = jnp.sin(th_u)
 
     temp = (force + POLEMASS_LENGTH * th_dot * th_dot * sinth) * _INV_TOTAL_MASS
-    denom = LENGTH * (4.0 / 3.0 - M_POLE * costh * costh / TOTAL_MASS)
+    denom = LENGTH * (4.0 / 3.0 - M_POLE * costh * costh * _INV_TOTAL_MASS)
 
     th_acc = (G * sinth - costh * temp) / denom
     x_acc = temp - POLEMASS_LENGTH * th_acc * costh * _INV_TOTAL_MASS

@@ -326,5 +326,6 @@ def linesearch_lanes_df(
 
 # Shared jit (see ops/pallas_lft.py note): system and a_vec are static.
 linesearch_lanes_df_jit = jax.jit(
-    linesearch_lanes_df, static_argnums=(0, 1), static_argnames=("interpret",)
+    linesearch_lanes_df, static_argnums=(0, 1),
+    static_argnames=("block_b", "interpret"),
 )

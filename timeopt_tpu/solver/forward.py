@@ -61,6 +61,33 @@ def rollout_with_gains(
     return Xn, Un
 
 
+def _linesearch_impl(system, prob, X, U, K, kappa, T_star, J_old, alphas, roll):
+    """Shared all-alphas evaluation + first-improving selection (the
+    reference-parity accept rule, /root/reference/solver.py:247-284). Single
+    source of truth for the plain path, the custom_vmap fallback, and —
+    semantically — the Pallas kernel's host-side selection."""
+
+    def try_alpha(a):
+        Xn, Un = roll(system, prob, X, U, K, kappa, T_star, a)
+        # reference rejects an alpha whose rollout goes non-finite anywhere
+        # on [0, N], even beyond T* (/root/reference/solver.py:267-280)
+        finite = jnp.all(jnp.isfinite(Xn))
+        Jn = cost_true(system, prob, Xn, Un, T_star)
+        Jn = jnp.where(finite, Jn, jnp.asarray(jnp.inf, Jn.dtype))
+        return Xn, Un, Jn
+
+    a_vec = jnp.asarray(alphas, dtype=X.dtype)
+    Xs, Us, Js = jax.vmap(try_alpha)(a_vec)
+
+    improved = Js < J_old
+    accepted = jnp.any(improved)
+    idx = jnp.argmax(improved)  # first improving alpha, preserving order
+    Xn = jnp.where(accepted, Xs[idx], X)
+    Un = jnp.where(accepted, Us[idx], U)
+    Jn = jnp.where(accepted, Js[idx], J_old)
+    return Xn, Un, Jn, accepted
+
+
 def _kernel_applicable(system: System, dtype, df_forward: bool) -> bool:
     """Static gate for the fused Pallas line-search kernel
     (ops/pallas_forward.py): TPU + f32 + df rollout + rows-form dynamics +
@@ -93,23 +120,10 @@ def _linesearch_core(system: System, alphas: tuple):
             x0=X[0], xg=xg, u_ref=u_ref, Q=Qm, R=Rm, Qf=Qf, w=w,
             wrap_mask=wrap_mask, N=N, T_min=1, T_max=N,
         )
-
-        def try_alpha(a):
-            Xn, Un = rollout_with_gains_df(system, prob, X, U, K, kappa, T_star, a)
-            finite = jnp.all(jnp.isfinite(Xn))
-            Jn = cost_true(system, prob, Xn, Un, T_star)
-            Jn = jnp.where(finite, Jn, jnp.asarray(jnp.inf, Jn.dtype))
-            return Xn, Un, Jn
-
-        a_vec = jnp.asarray(alphas, dtype=X.dtype)
-        Xs, Us, Js = jax.vmap(try_alpha)(a_vec)
-        improved = Js < J_old
-        accepted = jnp.any(improved)
-        idx = jnp.argmax(improved)
-        Xn = jnp.where(accepted, Xs[idx], X)
-        Un = jnp.where(accepted, Us[idx], U)
-        Jn = jnp.where(accepted, Js[idx], J_old)
-        return Xn, Un, Jn, accepted
+        return _linesearch_impl(
+            system, prob, X, U, K, kappa, T_star, J_old, alphas,
+            rollout_with_gains_df,
+        )
 
     @jax.custom_batching.custom_vmap
     def core(X, U, K, kappa, T_star, J_old, xg, u_ref, Qm, Rm, Qf, w, wrap_mask):
@@ -163,24 +177,7 @@ def forward_linesearch(
         _roll = rollout_with_gains
 
     J_old = cost_true(system, prob, X, U, T_star)
-
-    def try_alpha(a):
-        Xn, Un = _roll(system, prob, X, U, K, kappa, T_star, a)
-        # reference rejects an alpha whose rollout goes non-finite anywhere
-        # on [0, N], even beyond T* (/root/reference/solver.py:267-280)
-        finite = jnp.all(jnp.isfinite(Xn))
-        Jn = cost_true(system, prob, Xn, Un, T_star)
-        Jn = jnp.where(finite, Jn, jnp.asarray(jnp.inf, Jn.dtype))
-        return Xn, Un, Jn
-
-    a_vec = jnp.asarray(alphas, dtype=X.dtype)
-    Xs, Us, Js = jax.vmap(try_alpha)(a_vec)
-
-    improved = Js < J_old
-    accepted = jnp.any(improved)
-    idx = jnp.argmax(improved)  # first improving alpha, preserving order
-
-    Xn = jnp.where(accepted, Xs[idx], X)
-    Un = jnp.where(accepted, Us[idx], U)
-    Jn = jnp.where(accepted, Js[idx], J_old)
+    Xn, Un, Jn, accepted = _linesearch_impl(
+        system, prob, X, U, K, kappa, T_star, J_old, alphas, _roll
+    )
     return LinesearchResult(X=Xn, U=Un, J=Jn, accepted=accepted)
