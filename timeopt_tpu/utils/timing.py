@@ -11,6 +11,7 @@ locating hot phases; use the fused solver for throughput.
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Optional
 
@@ -31,25 +32,22 @@ from timeopt_tpu.solver.ilqr import SolveOptions, default_U_init, resolve_q_reg
 from timeopt_tpu.solver.linearize import linearize
 
 
-def profile_solve(
-    system: System,
-    prob: Problem,
-    options: Optional[SolveOptions] = None,
-    U_init=None,
-):
-    """Run a propagator/bruteforce solve phase-by-phase with per-phase device
-    timers. Returns (result_dict, timers) where timers has the reference's
-    keys {linearize, select, backward, forward} in seconds."""
-    opts = options or SolveOptions()
-    assert opts.method in ("propagator", "bruteforce")
-    timers = {"linearize": 0.0, "select": 0.0, "backward": 0.0, "forward": 0.0}
+@functools.lru_cache(maxsize=None)
+def _phase_fns(system: System, opts: SolveOptions):
+    """Per-(system, options) jitted phase functions, cached at module level:
+    a fresh closure per profile call would re-trace AND re-compile every
+    phase on each invocation (the closures would bake the captured problem
+    arrays in as constants), so the reported timers would be compile times
+    — measured 165 ms for a select whose steady-state run is 0.3 ms.
+    `prob` is an explicit argument so the jit cache keys on its shapes."""
 
-    lin = jax.jit(lambda X, U: linearize(system.step, X, U, opts.linearize_mode))
-
-    Tm = prob.T_max
+    lin = jax.jit(
+        lambda prob, X, U: linearize(system.step, X, U, opts.linearize_mode)
+    )
 
     @jax.jit
-    def select(X, U, A, B):
+    def select(prob, X, U, A, B):
+        Tm = prob.T_max
         Xh, Uh, Ah, Bh = X[: Tm + 1], U[:Tm], A[:Tm], B[:Tm]
         if opts.method == "propagator":
             blocks = build_augmented(
@@ -73,13 +71,36 @@ def profile_solve(
         return J, argmin_T(J, prob.T_min, prob.T_max)
 
     bw = jax.jit(
-        lambda A, B, X, U, T, lm: backward_truncated(system, prob, A, B, X, U, T, lm)
+        lambda prob, A, B, X, U, T, lm: backward_truncated(
+            system, prob, A, B, X, U, T, lm
+        )
     )
     fw = jax.jit(
-        lambda X, U, K, kap, T: forward_linesearch(
+        lambda prob, X, U, K, kap, T: forward_linesearch(
             system, prob, X, U, K, kap, T, alphas=opts.alphas
         )
     )
+    return lin, select, bw, fw
+
+
+def profile_solve(
+    system: System,
+    prob: Problem,
+    options: Optional[SolveOptions] = None,
+    U_init=None,
+):
+    """Run a propagator/bruteforce solve phase-by-phase with per-phase device
+    timers. Returns (result_dict, timers) where timers has the reference's
+    keys {linearize, select, backward, forward} in seconds."""
+    opts = options or SolveOptions()
+    assert opts.method in ("propagator", "bruteforce")
+    timers = {"linearize": 0.0, "select": 0.0, "backward": 0.0, "forward": 0.0}
+
+    _lin, _select, _bw, _fw = _phase_fns(system, opts)
+    lin = functools.partial(_lin, prob)
+    select = functools.partial(_select, prob)
+    bw = functools.partial(_bw, prob)
+    fw = functools.partial(_fw, prob)
 
     def timed(key, fn, *a):
         t0 = time.perf_counter()
@@ -140,6 +161,60 @@ def profile_solve(
     return result, timers
 
 
+@functools.lru_cache(maxsize=None)
+def _onepass_phase_fns(system: System, opts: SolveOptions):
+    """Cached jitted one-pass phases (see _phase_fns for why); every
+    function takes `prob` as its first explicit argument."""
+    from timeopt_tpu.solver.onepass import (
+        extend_nominal_backward,
+        onepass_pick,
+        onepass_rollout,
+        value_sweep_prefix,
+    )
+
+    S = int(opts.S_window)
+    prefix_mode = opts.linearize_mode if opts.linearize_mode == "ad" else "forward"
+
+    lin = jax.jit(
+        lambda prob, X, U: linearize(system.step, X, U, opts.linearize_mode)
+    )
+    lin_pre = jax.jit(lambda prob, X, U: linearize(system.step, X, U, prefix_mode))
+    ext = jax.jit(
+        lambda prob, X, U: extend_nominal_backward(
+            system, X, U, U[0], S, method=opts.onepass_preimage
+        )
+    )
+    sweep_fn = jax.jit(
+        lambda prob, A, B, X, U, T_bar, lm: value_sweep_prefix(
+            system, prob, A, B, X, U, T_bar, S, lm
+        )
+    )
+    SL = max(1, S)
+    pick_fn = jax.jit(
+        lambda prob, sweep, X_ext, T_bar: onepass_pick(
+            prob, sweep, X_ext, X_ext[S], T_bar, S,
+            jnp.asarray(SL, jnp.int32), jnp.asarray(SL, jnp.int32),
+        )
+    )
+    roll_fn = jax.jit(
+        lambda prob, X_ext, U_ext, sweep, T_bar, T_star: onepass_rollout(
+            system, prob, X_ext, U_ext, sweep, T_bar, T_star, S,
+            alphas=opts.alphas[: min(4, len(opts.alphas))],
+        )
+    )
+    bw_fn = jax.jit(
+        lambda prob, A, B, X, U, T, lm: backward_truncated(
+            system, prob, A, B, X, U, T, lm
+        )
+    )
+    fw_fn = jax.jit(
+        lambda prob, X, U, K, kap, T: forward_linesearch(
+            system, prob, X, U, K, kap, T, alphas=opts.alphas
+        )
+    )
+    return lin, lin_pre, ext, sweep_fn, pick_fn, roll_fn, bw_fn, fw_fn
+
+
 def profile_solve_onepass(
     system: System,
     prob: Problem,
@@ -154,50 +229,15 @@ def profile_solve_onepass(
     profile_solve): per-phase `block_until_ready` brackets, single window
     (no shrink retries) — a profiling view, not the production fused loop."""
     from timeopt_tpu.solver.cost import nominal_cost_curve
-    from timeopt_tpu.solver.onepass import (
-        extend_nominal_backward,
-        onepass_pick,
-        onepass_rollout,
-        value_sweep_prefix,
-    )
 
     opts = options or SolveOptions(method="onepass")
     assert opts.method == "onepass"
     S = int(opts.S_window)
     timers = {"linearize": 0.0, "select": 0.0, "backward": 0.0, "forward": 0.0}
-    prefix_mode = opts.linearize_mode if opts.linearize_mode == "ad" else "forward"
 
-    lin = jax.jit(lambda X, U: linearize(system.step, X, U, opts.linearize_mode))
-    lin_pre = jax.jit(lambda X, U: linearize(system.step, X, U, prefix_mode))
-    ext = jax.jit(
-        lambda X, U: extend_nominal_backward(
-            system, X, U, U[0], S, method=opts.onepass_preimage
-        )
-    )
-    sweep_fn = jax.jit(
-        lambda A, B, X, U, T_bar, lm: value_sweep_prefix(
-            system, prob, A, B, X, U, T_bar, S, lm
-        )
-    )
-    SL = jnp.asarray(max(1, S), jnp.int32)
-    pick_fn = jax.jit(
-        lambda sweep, X_ext, T_bar: onepass_pick(
-            prob, sweep, X_ext, X_ext[S], T_bar, S, SL, SL
-        )
-    )
-    roll_fn = jax.jit(
-        lambda X_ext, U_ext, sweep, T_bar, T_star: onepass_rollout(
-            system, prob, X_ext, U_ext, sweep, T_bar, T_star, S,
-            alphas=opts.alphas[: min(4, len(opts.alphas))],
-        )
-    )
-    bw_fn = jax.jit(
-        lambda A, B, X, U, T, lm: backward_truncated(system, prob, A, B, X, U, T, lm)
-    )
-    fw_fn = jax.jit(
-        lambda X, U, K, kap, T: forward_linesearch(
-            system, prob, X, U, K, kap, T, alphas=opts.alphas
-        )
+    fns = _onepass_phase_fns(system, opts)
+    lin, lin_pre, ext, sweep_fn, pick_fn, roll_fn, bw_fn, fw_fn = (
+        functools.partial(f, prob) for f in fns
     )
 
     def timed(key, fn, *a):
