@@ -103,17 +103,21 @@ def _setup(rng, T_fixed, B=8, case="Quadrotor"):
 
 
 @pytest.mark.parametrize(
-    "case,T_fixed",
+    "case,T_fixed,block_b",
     [
-        ("Quadrotor", 51),
-        ("Quadrotor", 160),
+        ("Quadrotor", 51, 1024),
+        ("Quadrotor", 160, 1024),
+        # block_b=2 with B=8 forces a 4-tile grid: exercises the batch-tile
+        # axis, the per-tile carry re-initialization, and the gcd tile-size
+        # path that production (single-tile at B<=1024) never takes
+        ("Quadrotor", 51, 2),
         # cartpole exercises the kernel's in-state df 2-pi wrap branch
         # (system.wrap_idx) that the quadrotor never takes
-        ("Cartpole_SwingUp", 181),
-        ("Segway_Balance", 40),
+        ("Cartpole_SwingUp", 181, 1024),
+        ("Segway_Balance", 40, 1024),
     ],
 )
-def test_forward_kernel_matches_production(rng, case, T_fixed):
+def test_forward_kernel_matches_production(rng, case, T_fixed, block_b):
     system, probs, (X, U, K, kap, T, J_old) = _setup(rng, T_fixed, case=case)
 
     def prod(p, X, U, K, kap, T):
@@ -124,12 +128,15 @@ def test_forward_kernel_matches_production(rng, case, T_fixed):
     ls = jax.jit(jax.vmap(prod))(probs, X, U, K, kap, T)
 
     Xn, Un, Jn, acc = jax.jit(
-        lambda *a: linesearch_lanes_df(system, ALPHAS, *a, interpret=True)
+        lambda *a: linesearch_lanes_df(
+            system, ALPHAS, *a, block_b=block_b, interpret=True
+        )
     )(
         X, U, K, kap, T, J_old,
         probs.xg, probs.u_ref, probs.Q, probs.R, probs.Qf, probs.w, probs.wrap_mask,
     )
 
+    assert Xn.shape == X.shape and Jn.shape == J_old.shape  # no padded rows leak
     np.testing.assert_array_equal(np.asarray(acc), np.asarray(ls.accepted))
     # same chosen alpha -> selected trajectories agree to rollout noise.
     # Compare states only on [0, T*]: beyond T* the rollout is OPEN-LOOP on

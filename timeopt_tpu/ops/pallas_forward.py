@@ -7,8 +7,11 @@ step's op count, NOT by layout padding (a lane-dense XLA variant measured
 the same 8 ms). This kernel removes the per-step overhead the same way the
 select/backward kernels do (ops/pallas_lft.py, ops/pallas_backward.py):
 
-- grid = (N,): ONE grid step per time step with the whole padded batch in
-  lanes — the (hi, lo) state carry lives in VMEM scratch across the scan,
+- grid = (B/bt, N) with time innermost and the batch tiled over the first
+  axis in up-to-1024-lane blocks (a single whole-batch block fails Mosaic
+  compilation beyond ~1024 lanes; the large tile keeps per-grid-step
+  overhead low for this flops-light body) — the (hi, lo) state carry
+  lives in VMEM scratch across the scan, re-initialized per batch tile,
 - the system dynamics run INSIDE the kernel via the trailing-batch
   `xdot_rows` form (models/base.py) with `jax.jvp` propagating the lo half
   (same compensated df32 integration as solver/rollout_df.py),
@@ -30,6 +33,7 @@ tests/test_pallas_forward.py).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -213,30 +217,21 @@ def linesearch_lanes_df(
     semantics of forward.forward_linesearch.
 
     The batch tiles over the first grid axis in blocks of up to `block_b`
-    lanes (grid (B/bt, N), k innermost, carry persisting per tile — the
+    lanes (grid (B/bt, N), time innermost, carry persisting per tile — the
     same pattern as the select/backward kernels). A single whole-batch
     block fails to compile beyond ~1024 lanes, and the larger tile size
     (vs their 128) keeps the per-grid-step overhead share low for this
-    flops-light kernel.
+    flops-light kernel. The tile size is gcd(B, block_b), which divides B
+    exactly — the production caller pads B to a 128-lane multiple, so the
+    tile stays >= 128 and no additional padding (wasted rollouts) is ever
+    needed here.
     """
-    B0, Np1, n = X.shape
+    B, Np1, n = X.shape
     N = Np1 - 1
     m = U.shape[-1]
     A = len(a_vec)
     dtype = X.dtype
-
-    bt = min(B0, block_b)
-    if B0 % bt:
-        # pad the batch to a tile multiple with the first problem's rows
-        pad = (-B0) % bt
-        padf = lambda a: jnp.concatenate(  # noqa: E731
-            [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0
-        )
-        X, U, K, kappa, T_star, J_old, xg, u_ref, Qm, Rm, Qf, w, wrap_mask = (
-            padf(a)
-            for a in (X, U, K, kappa, T_star, J_old, xg, u_ref, Qm, Rm, Qf, w, wrap_mask)
-        )
-    B = X.shape[0]
+    bt = math.gcd(B, block_b)
 
     Xt = jnp.transpose(X[:, :-1], (1, 2, 0))  # (N, n, B)
     Ut = jnp.transpose(U, (1, 2, 0))  # (N, m, B)
