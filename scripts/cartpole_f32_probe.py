@@ -2,6 +2,9 @@
 forward-pass failure (DESIGN.md §4/§5) and validates the compensated df32
 rollout (solver/rollout_df.py) at the component and solve level."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # self-locating: run bare, no PYTHONPATH needed
+
 import os
 
 os.environ.setdefault("XLA_FLAGS", "")

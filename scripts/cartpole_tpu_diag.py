@@ -9,6 +9,9 @@ Mosaic hardware against f64-emulated oracles, then runs the full solves.
 Run on the TPU host: PYTHONPATH=/root/repo:/root/.axon_site python scripts/cartpole_tpu_diag.py
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # self-locating: run bare, no PYTHONPATH needed
+
 import time
 
 import numpy as np

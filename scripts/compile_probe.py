@@ -15,6 +15,9 @@ Env: PB (batch, default 1024); COMPONENTS (comma list, default all:
      select,backward,forward,solve,solve_xla).
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # self-locating: run bare, no PYTHONPATH needed
+
 import os
 import time
 

@@ -3,6 +3,9 @@ wall-clock at different max_iter budgets — if max_iter=k reproduces the
 max_iter=12 (T*, J*) for (almost) all lanes, a batch-wide early exit
 (lax.while_loop on all-done) would save the difference."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # self-locating: run bare, no PYTHONPATH needed
+
 import os
 import time
 

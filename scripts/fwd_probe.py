@@ -19,6 +19,9 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/fwd_probe.py
 Env: PB (batch, default 1024), REPS (default 8), CASE (default Quadrotor).
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # self-locating: run bare, no PYTHONPATH needed
+
 import os
 import time
 

@@ -8,6 +8,9 @@ line search) as one jitted program, then re-times with pieces ablated (XLA
 dead-code-eliminates the rest), giving a truthful attribution.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # self-locating: run bare, no PYTHONPATH needed
+
 import os
 import time
 

@@ -12,6 +12,9 @@ Usage:
 Env: IDX (default 5), OM_CASE (default Quadrotor).
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # self-locating: run bare, no PYTHONPATH needed
+
 import os
 import sys
 

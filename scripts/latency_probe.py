@@ -12,6 +12,9 @@ Env: CASE (default Quadrotor), R_LO/R_HI (default 2/10), MAX_ITER (12),
 MODES (comma list: seq,assoc; default both).
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # self-locating: run bare, no PYTHONPATH needed
+
 import os
 import time
 

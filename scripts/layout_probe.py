@@ -1,6 +1,9 @@
 """Layout experiment: LFT prefix scan with batch-leading (vmap) vs
 batch-trailing (lanes) layouts on TPU. Decides the custom_vmap redesign."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # self-locating: run bare, no PYTHONPATH needed
+
 import time
 
 import numpy as np

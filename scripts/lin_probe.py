@@ -7,6 +7,9 @@ Hypothesis: linearize is ~60x off the VPU flop bound because every
 sublane dim (1.33x). The jvp math is identical; only the logical axis order
 changes."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # self-locating: run bare, no PYTHONPATH needed
+
 import os
 import time
 

@@ -16,6 +16,9 @@ non-quadrotor cases perturb x0 with the system's per-case sigma_x0 (the
 suite's trial distribution) and write case-suffixed npz files.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # self-locating: run bare, no PYTHONPATH needed
+
 import os
 import sys
 

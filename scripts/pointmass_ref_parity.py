@@ -16,6 +16,9 @@ Output: results/cpu_f64_25/PointMass_Navigation/reference_curve_methods.csv
 Usage: PYTHONPATH=/root/repo python scripts/pointmass_ref_parity.py
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # self-locating: run bare, no PYTHONPATH needed
+
 import sys
 import time
 

@@ -3,6 +3,9 @@
 If the kernel is bound by dependent-op latency rather than VPU flops,
 throughput should scale with block_b (wider slabs, same chain length)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # self-locating: run bare, no PYTHONPATH needed
+
 import os
 import time
 

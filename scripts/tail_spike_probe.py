@@ -58,6 +58,9 @@ Usage:
 Env: IDX (problem index, default 5), MODES (fused,generic,assoc).
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # self-locating: run bare, no PYTHONPATH needed
+
 import os
 import sys
 

@@ -6,6 +6,9 @@ whether fp32 selection matches fp64 (the 'bit-matched T*' requirement of
 BASELINE.md).
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # self-locating: run bare, no PYTHONPATH needed
+
 import sys
 import time
 

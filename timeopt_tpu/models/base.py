@@ -97,9 +97,10 @@ class System:
     # rollout whose state carries the batch on the MINOR axes is lane-dense,
     # while the natural (batch, n) layout pads n -> 128 lanes (~10x HBM
     # traffic). Optional: when present (and guard_rows matches guard), the
-    # batched forward line search runs in this layout
-    # (solver/forward_trail.py). Must compute the same values as xdot/guard
-    # up to float non-associativity of the reformulated expressions.
+    # batched forward line search runs in this layout (the fused Pallas
+    # kernel in ops/pallas_forward.py; XLA fallback solver/rollout_df.py).
+    # Must compute the same values as xdot/guard up to float
+    # non-associativity of the reformulated expressions.
     xdot_rows: Optional[XdotFn] = dataclasses.field(default=None, compare=False)
     guard_rows: Optional[GuardFn] = dataclasses.field(default=None, compare=False)
     # State components step() angle-normalizes into (-pi, pi].

@@ -108,8 +108,9 @@ def _kernel_applicable(system: System, dtype, df_forward: bool) -> bool:
 def _linesearch_core(system: System, alphas: tuple):
     """custom_vmap'd all-alphas line search (df rollout): the unbatched def
     keeps the reference path; under a problem-batch vmap it reroutes to the
-    lane-dense trailing-batch implementation (forward_trail.py) — same
-    pattern as the select/backward custom_vmap kernels."""
+    fused Pallas line-search kernel (ops/pallas_forward.py; XLA trailing-batch
+    fallback in solver/rollout_df.py) — same pattern as the select/backward
+    custom_vmap kernels."""
 
     def _unbatched(X, U, K, kappa, T_star, J_old, xg, u_ref, Qm, Rm, Qf, w, wrap_mask):
         from timeopt_tpu.models.base import Problem

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from timeopt_tpu.models.base import Problem, System
+from timeopt_tpu.ops.precision import full_matmul_precision
 from timeopt_tpu.solver.augmented import (
     build_augmented,
     build_terminal_blocks,
@@ -41,11 +42,15 @@ def _phase_fns(system: System, opts: SolveOptions):
     — measured 165 ms for a select whose steady-state run is 0.3 ms.
     `prob` is an explicit argument so the jit cache keys on its shapes."""
 
-    lin = jax.jit(
+    # every phase traces under full f32 matmul precision so the profiled
+    # program matches the production _solve_traced path (invariant 1b;
+    # round-3 advisor finding)
+    lin = jax.jit(full_matmul_precision(
         lambda prob, X, U: linearize(system.step, X, U, opts.linearize_mode)
-    )
+    ))
 
     @jax.jit
+    @full_matmul_precision
     def select(prob, X, U, A, B):
         Tm = prob.T_max
         Xh, Uh, Ah, Bh = X[: Tm + 1], U[:Tm], A[:Tm], B[:Tm]
@@ -70,16 +75,16 @@ def _phase_fns(system: System, opts: SolveOptions):
             J = bruteforce_J_curve(system, prob, Ah, Bh, Xh, Uh, psd_levels=opts.psd_levels)
         return J, argmin_T(J, prob.T_min, prob.T_max)
 
-    bw = jax.jit(
+    bw = jax.jit(full_matmul_precision(
         lambda prob, A, B, X, U, T, lm: backward_truncated(
             system, prob, A, B, X, U, T, lm
         )
-    )
-    fw = jax.jit(
+    ))
+    fw = jax.jit(full_matmul_precision(
         lambda prob, X, U, K, kap, T: forward_linesearch(
             system, prob, X, U, K, kap, T, alphas=opts.alphas
         )
-    )
+    ))
     return lin, select, bw, fw
 
 
@@ -175,43 +180,46 @@ def _onepass_phase_fns(system: System, opts: SolveOptions):
     S = int(opts.S_window)
     prefix_mode = opts.linearize_mode if opts.linearize_mode == "ad" else "forward"
 
-    lin = jax.jit(
+    # full f32 matmul precision on every phase (invariant 1b; see _phase_fns)
+    lin = jax.jit(full_matmul_precision(
         lambda prob, X, U: linearize(system.step, X, U, opts.linearize_mode)
-    )
-    lin_pre = jax.jit(lambda prob, X, U: linearize(system.step, X, U, prefix_mode))
-    ext = jax.jit(
+    ))
+    lin_pre = jax.jit(full_matmul_precision(
+        lambda prob, X, U: linearize(system.step, X, U, prefix_mode)
+    ))
+    ext = jax.jit(full_matmul_precision(
         lambda prob, X, U: extend_nominal_backward(
             system, X, U, U[0], S, method=opts.onepass_preimage
         )
-    )
-    sweep_fn = jax.jit(
+    ))
+    sweep_fn = jax.jit(full_matmul_precision(
         lambda prob, A, B, X, U, T_bar, lm: value_sweep_prefix(
             system, prob, A, B, X, U, T_bar, S, lm
         )
-    )
+    ))
     SL = max(1, S)
-    pick_fn = jax.jit(
+    pick_fn = jax.jit(full_matmul_precision(
         lambda prob, sweep, X_ext, T_bar: onepass_pick(
             prob, sweep, X_ext, X_ext[S], T_bar, S,
             jnp.asarray(SL, jnp.int32), jnp.asarray(SL, jnp.int32),
         )
-    )
-    roll_fn = jax.jit(
+    ))
+    roll_fn = jax.jit(full_matmul_precision(
         lambda prob, X_ext, U_ext, sweep, T_bar, T_star: onepass_rollout(
             system, prob, X_ext, U_ext, sweep, T_bar, T_star, S,
             alphas=opts.alphas[: min(4, len(opts.alphas))],
         )
-    )
-    bw_fn = jax.jit(
+    ))
+    bw_fn = jax.jit(full_matmul_precision(
         lambda prob, A, B, X, U, T, lm: backward_truncated(
             system, prob, A, B, X, U, T, lm
         )
-    )
-    fw_fn = jax.jit(
+    ))
+    fw_fn = jax.jit(full_matmul_precision(
         lambda prob, X, U, K, kap, T: forward_linesearch(
             system, prob, X, U, K, kap, T, alphas=opts.alphas
         )
-    )
+    ))
     return lin, lin_pre, ext, sweep_fn, pick_fn, roll_fn, bw_fn, fw_fn
 
 
