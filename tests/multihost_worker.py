@@ -49,16 +49,32 @@ def main():
     from tests.helpers import tiny_double_integrator
     from timeopt_tpu.solver.ilqr import SolveOptions, broadcast_problem
 
-    system, prob = tiny_double_integrator(N=16, T_min=2, T_max=12)
-    GB = 8  # global batch
-    x0s = np.tile(np.asarray(prob.x0, np.float64), (GB, 1))
-    x0s[:, 0] += 0.1 * np.arange(GB)  # deterministic, process-independent
+    mode = sys.argv[5] if len(sys.argv) > 5 else ""
+    if mode == "quad":
+        # suite-shape check (VERDICT round-3 item 4): the REAL quadrotor
+        # problem (N=160, T in [40,160], f64) at the full suite budget
+        # max_iter=12 — the accept/reject/early-exit trajectory the 25-trial
+        # suite takes, not a tiny-shape proxy
+        from timeopt_tpu.models import get_system
+
+        system, mk = get_system("Quadrotor")
+        prob = mk(dtype=jnp.float64)
+        GB = 4
+        x0s = np.tile(np.asarray(prob.x0, np.float64), (GB, 1))
+        rng = np.random.default_rng(7)
+        x0s[:, :3] += 0.4 * rng.standard_normal((GB, 3))
+        opts = SolveOptions(method="propagator", max_iter=12, psd_levels=1)
+    else:
+        system, prob = tiny_double_integrator(N=16, T_min=2, T_max=12)
+        GB = 8  # global batch
+        x0s = np.tile(np.asarray(prob.x0, np.float64), (GB, 1))
+        x0s[:, 0] += 0.1 * np.arange(GB)  # deterministic, process-independent
+        opts = SolveOptions(method="propagator", max_iter=6)
+
     lo, hi = dist.process_batch_bounds(GB)
     local = jax.tree.map(lambda x: x[lo:hi], broadcast_problem(prob, GB)).replace(
         x0=jnp.asarray(x0s[lo:hi])
     )
-
-    opts = SolveOptions(method="propagator", max_iter=6)
     mesh = dist.global_mesh()
     res = dist.solve_batch_global(system, local, options=opts, mesh=mesh)
     gathered = dist.gather_results({"T": res.T_star, "J": res.J_star})
@@ -70,7 +86,7 @@ def main():
 
     # end-to-end distributed runner: the --distributed CLI path (global mesh
     # sharding + all-gather + host-0-only CSV writes)
-    if len(sys.argv) > 5 and sys.argv[5] == "suite":
+    if mode == "suite":
         import glob
 
         from timeopt_tpu.runner.run_suite import main as suite_main
