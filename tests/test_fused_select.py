@@ -73,6 +73,34 @@ def test_fused_kernel_interpret_matches_f64(rng):
     np.testing.assert_allclose(J32, J_ref, rtol=2e-3, atol=1e-4)
 
 
+def test_dense_kernel_interpret_matches_lanes(rng):
+    """The dense-tile kernel (batch in full (sublane, lane) tiles, matrix
+    indices on untiled leading axes) runs the identical per-element df op
+    sequence as the lanes kernel. On TPU hardware the outputs are BITWISE
+    equal (verified at B=1024 by scripts/select_dense_probe.py); under
+    compiled-CPU interpret mode LLVM FP contraction degrades the df32
+    tricks shape-dependently (ops/df32.py backend caveat), so this CPU
+    check uses a loose tolerance."""
+    from timeopt_tpu.ops.pallas_lft import propagator_select_dense_df_fused
+
+    probs = _problems(rng, B=8, dtype=np.float64)
+    f32in = []
+    for system, prob, A, Bm, X, U in probs:
+        fi = build_fused_inputs(system, prob, X, U, A, Bm, psd_levels=1)
+        f32in.append(jax.tree.map(lambda x: x.astype(jnp.float32), fi))
+    stack = lambda get: jnp.stack([get(fi) for fi in f32in])  # noqa: E731
+    args = (
+        stack(lambda f: f.A), stack(lambda f: f.B), stack(lambda f: f.vecs),
+        stack(lambda f: f.scal), stack(lambda f: f.Qq), stack(lambda f: f.R_inv),
+        stack(lambda f: f.Lt),
+    )
+    J_lanes = propagator_select_lanes_df_fused(*args, block_b=8, interpret=True)
+    J_dense = propagator_select_dense_df_fused(*args, tile=(2, 4), interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(J_dense), np.asarray(J_lanes), rtol=1e-3, atol=1e-3
+    )
+
+
 def test_fused_path_e2e_quadrotor(rng):
     """Default solve (fused cv fallback on CPU) == explicit non-pallas solve."""
     from timeopt_tpu.models import quadrotor

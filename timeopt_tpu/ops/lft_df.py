@@ -28,10 +28,15 @@ import jax.numpy as jnp
 from timeopt_tpu.ops import df32 as dfm
 
 
-def eye_lanes(p: int, b: int, dtype) -> jax.Array:
-    """(p, p, b) identity broadcast over the lane axis."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (p, p, b), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (p, p, b), 1)
+def eye_lanes(p: int, b, dtype) -> jax.Array:
+    """(p, p) + batch-shape identity broadcast over the trailing batch axes.
+
+    `b` is an int (lanes layout, trailing (b,)) or a shape tuple (dense-tile
+    layout, trailing (sublanes, lanes) — see ops/pallas_lft.py kernel 5)."""
+    bshape = (b,) if isinstance(b, int) else tuple(b)
+    shape = (p, p) + bshape
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     return (rows == cols).astype(dtype)
 
 
@@ -44,8 +49,7 @@ def df_lft_element_ldl(Ak, Qk, BRBk, *, jitter: float):
     action is a unit-lower trisolve + pivot scaling).
     """
     p = Ak.shape[0]
-    b = Ak.shape[-1]
-    eye_p = eye_lanes(p, b, Ak.dtype)
+    eye_p = eye_lanes(p, Ak.shape[2:], Ak.dtype)
 
     Lq, _, idq = dfm.df_ldl(dfm.df_mat(Qk), jitter, eye_p)
     # merged RHS [A' | I]: one L-chain walk at double slab width
@@ -78,8 +82,7 @@ def df_lft_compose(first, second, *, jitter: float):
     E1, F1, G1 = first
     E2, F2, G2 = second
     p = E1[0].shape[0]
-    b = E1[0].shape[-1]
-    eye_p = eye_lanes(p, b, E1[0].dtype)
+    eye_p = eye_lanes(p, E1[0].shape[2:], E1[0].dtype)
 
     #   Ē - F̄ W F̄' = Ē - U' Dw^-1 U,   U = Lw^-1 F̄'
     #   F̄ W F_k    = U' Dw^-1 V,       V = Lw^-1 F_k
@@ -105,10 +108,9 @@ def df_lft_query_lastpivot(X0, *, jitter: float):
     unpivoted LDL' of (X0 + jitter I), reciprocal already computed.
     Returns f32 (b,)."""
     p = X0[0].shape[0]
-    b = X0[0].shape[-1]
-    eye_p = eye_lanes(p, b, X0[0].dtype)
+    eye_p = eye_lanes(p, X0[0].shape[2:], X0[0].dtype)
     _, _, idx0 = dfm.df_ldl(X0, jitter, eye_p)
-    return 0.5 * (idx0[0][p - 1, 0, :] + idx0[1][p - 1, 0, :])
+    return 0.5 * (idx0[0][p - 1, 0] + idx0[1][p - 1, 0])
 
 
 def df_lft_query_factored(prefix, Cdf, *, jitter: float):
@@ -117,8 +119,7 @@ def df_lft_query_factored(prefix, Cdf, *, jitter: float):
     J = 0.5 (X0^-1)[p-1, p-1]. Returns f32 (b,)."""
     Ep, Fp, Gp = prefix
     n = Cdf[0].shape[0]
-    b = Ep[0].shape[-1]
-    eye_n = eye_lanes(n, b, Ep[0].dtype)
+    eye_n = eye_lanes(n, Ep[0].shape[2:], Ep[0].dtype)
 
     CG = dfm.df_matmul(Cdf, Gp)  # (n, p)
     S = dfm.df_add(dfm.df_mat(eye_n), dfm.df_matmul_nt(CG, Cdf))

@@ -39,9 +39,13 @@ from timeopt_tpu.ops.precision import full_matmul_precision
 # =============================================================================
 
 
-def _eye_lanes(p: int, b: int, dtype) -> jax.Array:
-    rows = jax.lax.broadcasted_iota(jnp.int32, (p, p, b), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (p, p, b), 1)
+def _eye_lanes(p: int, b, dtype) -> jax.Array:
+    """(p, p) + batch-shape identity; `b` an int (lanes layout) or a shape
+    tuple (dense-tile layout, kernel 5)."""
+    bshape = (b,) if isinstance(b, int) else tuple(b)
+    shape = (p, p) + bshape
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     return (rows == cols).astype(dtype)
 
 
@@ -332,7 +336,7 @@ def _df_query_lastpivot(X0, j_ref, *, jitter):
     """J = 0.5 (X0^-1)[p-1, p-1] — shared math in ops/lft_df.py."""
     from timeopt_tpu.ops.lft_df import df_lft_query_lastpivot
 
-    j_ref[0, 0, :] = df_lft_query_lastpivot(X0, jitter=jitter)
+    j_ref[0, 0] = df_lft_query_lastpivot(X0, jitter=jitter)
 
 
 def _df_compose_query(
@@ -344,20 +348,20 @@ def _df_compose_query(
     from timeopt_tpu.ops.lft_df import df_lft_query_factored
 
     k = pl.program_id(1)
-    b = E[0].shape[-1]
+    bshape = E[0].shape[2:]
 
     Ep, Fp, Gp = _df_compose(E, F, G, cEh, cEl, cFh, cFl, cGh, cGl, jitter=jitter)
 
     # horizons below T_min never reach the argmin window — skip their queries
     @pl.when(k + 1 >= t_min)
     def _():
-        j_ref[0, 0, :] = df_lft_query_factored(
+        j_ref[0, 0] = df_lft_query_factored(
             (Ep, Fp, Gp), dfm.df_mat(Ck), jitter=jitter
         )
 
     @pl.when(k + 1 < t_min)
     def _():
-        j_ref[0, 0, :] = jnp.full((b,), jnp.inf, E[0].dtype)
+        j_ref[0, 0] = jnp.full(bshape, jnp.inf, E[0].dtype)
 
 
 def _df_compose_query_w0(
@@ -383,26 +387,26 @@ def _df_compose_query_w0(
     k = pl.program_id(1)
     p = E[0].shape[0]
     n = etil.shape[0]
-    b = E[0].shape[-1]
+    bshape = E[0].shape[2:]
 
     Ep, Fp, Gp = _df_compose(E, F, G, cEh, cEl, cFh, cFl, cGh, cGl, jitter=jitter)
 
     @pl.when(k + 1 >= t_min)
     def _():
         ed = dfm.df_mat(etil)  # (n, 1, bt)
-        G11 = (Gp[0][:n, :n, :], Gp[1][:n, :n, :])
-        g = (Gp[0][:n, n:, :], Gp[1][:n, n:, :])  # (n, 1, bt)
-        g22 = (Gp[0][n:, n:, :], Gp[1][n:, n:, :])  # (1, 1, bt)
+        G11 = (Gp[0][:n, :n], Gp[1][:n, :n])
+        g = (Gp[0][:n, n:], Gp[1][:n, n:])  # (n, 1, bt)
+        g22 = (Gp[0][n:, n:], Gp[1][n:, n:])  # (1, 1, bt)
         # M = G11 + ẽ g' + (ẽ g')' + g22 ẽ ẽ'  (exactly symmetric assembly)
         eg = dfm.df_matmul_nt(ed, g)  # (n, n, bt) = ẽ g'
         egt = (eg[0].swapaxes(0, 1), eg[1].swapaxes(0, 1))
         ee = dfm.df_matmul_nt(dfm.df_mul(ed, g22), ed)
         M = dfm.df_add(dfm.df_add(G11, dfm.df_add(eg, egt)), ee)
         K = dfm.df_add(W0, M)  # SPD (n, n, bt)
-        Lk, dk, idk = dfm.df_ldl(K, 0.0, _eye_lanes(n, b, E[0].dtype))
+        Lk, dk, idk = dfm.df_ldl(K, 0.0, _eye_lanes(n, bshape, E[0].dtype))
         # FẼ' = F[:, :n] + F[:, n] ẽ'  (p, n, bt)
-        Fn = (Fp[0][:, :n, :], Fp[1][:, :n, :])
-        fcol = (Fp[0][:, n:, :], Fp[1][:, n:, :])  # (p, 1, bt)
+        Fn = (Fp[0][:, :n], Fp[1][:, :n])
+        fcol = (Fp[0][:, n:], Fp[1][:, n:])  # (p, 1, bt)
         FEt = dfm.df_add(Fn, dfm.df_matmul_nt(fcol, ed))
         # X0 = Ep - FẼ' K^-1 ẼF' = Ep - Vq' Dk^-1 Vq,  Vq = Lk^-1 (FẼ')'
         Vq = dfm.df_trisolve_unit_lower_bt(Lk, FEt)
@@ -412,7 +416,7 @@ def _df_compose_query_w0(
 
     @pl.when(k + 1 < t_min)
     def _():
-        j_ref[0, 0, :] = jnp.full((b,), jnp.inf, E[0].dtype)
+        j_ref[0, 0] = jnp.full(bshape, jnp.inf, E[0].dtype)
 
 
 def _df_select_kernel(
@@ -536,13 +540,13 @@ def _df_select_fused_kernel(
     Rinv = rinv_ref[...]
     W0 = (w0h_ref[...], w0l_ref[...])  # (n, n, bt) df32
     n = Ak.shape[0]
-    b = Ak.shape[-1]
+    bshape = Ak.shape[2:]  # (bt,) lanes layout, (st, sl) dense-tile layout
     dtype = Ak.dtype
 
     # A_aug = [[A, atil/s_k], [0, s_{k+1}/s_k]]
-    a_top = jnp.concatenate([Ak, (atil * inv_sk[None, :])[:, None, :]], axis=1)
+    a_top = jnp.concatenate([Ak, (atil * inv_sk[None])[:, None]], axis=1)
     a_bot = jnp.concatenate(
-        [jnp.zeros((1, n, b), dtype), (s_kp1 * inv_sk)[None, None, :]], axis=1
+        [jnp.zeros((1, n) + bshape, dtype), (s_kp1 * inv_sk)[None, None]], axis=1
     )
     A_aug = jnp.concatenate([a_top, a_bot], axis=0)  # (p, p, bt)
     A_df = dfm.df_mat(A_aug)
@@ -550,26 +554,26 @@ def _df_select_fused_kernel(
     # BRB = [[B R^-1 B', 0], [0, 0]]
     BR = _mm(Bk, Rinv)  # (n, m, bt)
     brb_n = _mm_a_bt(BR, Bk)  # (n, n, bt)
-    zcol = jnp.zeros((n, 1, b), dtype)
-    zrow = jnp.zeros((1, n + 1, b), dtype)
+    zcol = jnp.zeros((n, 1) + bshape, dtype)
+    zrow = jnp.zeros((1, n + 1) + bshape, dtype)
     BRB = jnp.concatenate([jnp.concatenate([brb_n, zcol], axis=1), zrow], axis=0)
 
     # ẽ = e_{k+1}/s_{k+1} — the only k-varying part of the terminal factor
-    etil = (e_next * inv_skp1[None, :])[:, None, :]  # (n, 1, bt)
+    etil = (e_next * inv_skp1[None])[:, None]  # (n, 1, bt)
 
     # ---- arrow element
-    q = (Qe * inv_sk[None, :])[:, None, :]  # (n, 1, bt) f32 (assembly rounding)
+    q = (Qe * inv_sk[None])[:, None]  # (n, 1, bt) f32 (assembly rounding)
     q_df = dfm.df_mat(q)
     w = dfm.df_matmul(iq, q_df)  # (n, 1, bt)
     # s = (c + jitter) - q' w, jitter folded exactly (cf. df_ldl)
     ch, cl = dfm.two_sum(corner * inv_sk * inv_sk, jnp.asarray(jitter, dtype))
     qtw = dfm.df_matmul_tn(q_df, w)  # (1, 1, bt)
-    s = dfm.df_sub((ch[None, None, :], cl[None, None, :]), qtw)
+    s = dfm.df_sub((ch[None, None], cl[None, None]), qtw)
     inv_s = dfm.df_recip(s)  # (1, 1, bt)
 
     u = (
-        jnp.concatenate([w[0], -jnp.ones((1, 1, b), dtype)], axis=0),
-        jnp.concatenate([w[1], jnp.zeros((1, 1, b), dtype)], axis=0),
+        jnp.concatenate([w[0], -jnp.ones((1, 1) + bshape, dtype)], axis=0),
+        jnp.concatenate([w[1], jnp.zeros((1, 1) + bshape, dtype)], axis=0),
     )  # (p, 1, bt)
     u_s = dfm.df_mul(u, inv_s)
 
@@ -673,6 +677,117 @@ def propagator_select_lanes_df_fused(
     return jnp.transpose(out[:, 0, :], (1, 0))
 
 
+# =============================================================================
+# Kernel 5 (default for B % (8*128) == 0): dense-tile fused select.
+# The lanes layout stores slabs as (p, p, 128) — the minor (13, 128) dims
+# tile to (16, 128), wasting 3/16 of every vector register on sublane
+# padding, and each matrix-row broadcast costs a sublane-broadcast op. Here
+# the batch itself fills full (8, 128) vregs: slabs are (p, p, 8, 128) with
+# BOTH matrix indices on untiled leading axes, so every VPU op is 100%
+# dense and operand "broadcasts" along matrix axes are free register reuse.
+# The kernel body is byte-for-byte the same code (`_df_select_fused_kernel`
+# is rank-agnostic); only the block geometry differs, and since every df op
+# is elementwise over the batch the result is bit-identical to the lanes
+# kernel. Requires B % 1024 == 0 (a full (8, 128) tile per grid step);
+# horizon.py routes batches that satisfy it here, the rest to kernel 4.
+# =============================================================================
+
+
+@full_matmul_precision
+def propagator_select_dense_df_fused(
+    A: jax.Array,
+    Bm: jax.Array,
+    vecs: jax.Array,
+    scal: jax.Array,
+    Qq: jax.Array,
+    R_inv: jax.Array,
+    Lt: jax.Array,
+    *,
+    jitter: float = 1e-9,
+    tile: tuple = (8, 128),
+    t_min: int = 1,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused-assembly df32 propagator selection, dense-tile batch layout.
+
+    Same contract as propagator_select_lanes_df_fused (A: (B, N, n, n); Bm:
+    (B, N, n, m); vecs: (B, N, 4, n); scal: (B, N, 4); Qq: (B, n, n);
+    R_inv: (B, m, m); Lt: (B, n, n); returns J: (B, N) with +inf below
+    t_min), but the batch is packed into full (sublane, lane) tiles —
+    B % (tile[0]*tile[1]) == 0 — instead of 128-lane slabs. Bit-identical
+    output to the lanes kernel (identical per-element op sequence)."""
+    from timeopt_tpu.ops import df32 as dfm
+
+    st, sl = tile
+    tb = st * sl
+
+    At = jnp.transpose(A, (1, 2, 3, 0))  # (N, n, n, B)
+    Bt = jnp.transpose(Bm, (1, 2, 3, 0))
+    Vt = jnp.transpose(vecs, (1, 2, 3, 0))  # (N, 4, n, B)
+    St = jnp.transpose(scal, (1, 2, 0))  # (N, 4, B)
+    Qqt = jnp.transpose(Qq, (1, 2, 0))  # (n, n, B)
+    Rt = jnp.transpose(R_inv, (1, 2, 0))
+    Ltt = jnp.transpose(Lt, (1, 2, 0))
+
+    N, n, _, B = At.shape
+    m = Bt.shape[2]
+    p = n + 1
+    assert B % tb == 0, (B, tile)
+    grid = (B // tb, N)
+
+    # k-constant df32 inverses (see the lanes wrapper) — computed in the 3D
+    # lanes layout (elementwise, so bitwise independent of layout), then
+    # retiled with everything else.
+    eye_n = _eye_lanes(n, B, At.dtype)
+    iqh, iql = dfm.df_sym_half(dfm.df_gj_inv(dfm.df_mat(Qqt), jitter, eye_n))
+    Qf_df = dfm.df_matmul_tn(dfm.df_mat(Ltt), dfm.df_mat(Ltt))
+    w0h, w0l = dfm.df_sym_half(dfm.df_gj_inv(Qf_df, 0.0, eye_n))
+
+    # batch axis B -> (B // sl, sl); grid step i covers rows [i*st, (i+1)*st)
+    rt = lambda x: x.reshape(x.shape[:-1] + (B // sl, sl))  # noqa: E731
+
+    aspec = pl.BlockSpec(
+        (1, n, n, st, sl), lambda i, k: (k, 0, 0, i, 0), memory_space=pltpu.VMEM
+    )
+    bspec = pl.BlockSpec(
+        (1, n, m, st, sl), lambda i, k: (k, 0, 0, i, 0), memory_space=pltpu.VMEM
+    )
+    vspec = pl.BlockSpec(
+        (1, 4, n, st, sl), lambda i, k: (k, 0, 0, i, 0), memory_space=pltpu.VMEM
+    )
+    sspec = pl.BlockSpec(
+        (1, 4, st, sl), lambda i, k: (k, 0, i, 0), memory_space=pltpu.VMEM
+    )
+    cst = pl.BlockSpec(
+        (n, n, st, sl), lambda i, k: (0, 0, i, 0), memory_space=pltpu.VMEM
+    )
+    rspec = pl.BlockSpec(
+        (m, m, st, sl), lambda i, k: (0, 0, i, 0), memory_space=pltpu.VMEM
+    )
+    jspec = pl.BlockSpec(
+        (1, 1, st, sl), lambda i, k: (k, 0, i, 0), memory_space=pltpu.VMEM
+    )
+
+    kernel = functools.partial(_df_select_fused_kernel, jitter=jitter, t_min=t_min)
+    scratch = [pltpu.VMEM((p, p, st, sl), At.dtype) for _ in range(6)]
+    # (8, 128)-tile temporaries are 8x the lanes kernel's; the body's live set
+    # (~22 slab-equivalents at 692 KB) exceeds the default 16 MB scoped-vmem
+    # cap, so raise it — v5e VMEM is 128 MB and the pipeline buffers above
+    # account for < 6 MB of it.
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[aspec, bspec, vspec, sspec, cst, cst, rspec, cst, cst],
+        out_specs=jspec,
+        out_shape=jax.ShapeDtypeStruct((N, 1, B // sl, sl), At.dtype),
+        scratch_shapes=scratch,
+        compiler_params=params,
+        interpret=interpret,
+    )(rt(At), rt(Bt), rt(Vt), rt(St), rt(iqh), rt(iql), rt(Rt), rt(w0h), rt(w0l))
+    return jnp.transpose(out.reshape(N, B), (1, 0))
+
+
 # Module-level jitted entries: the solver instantiates each kernel at least
 # twice per trace (warm start + loop body; ilqr.py _solve_curve_methods).
 # A shared jit caches the trace/lowering by avals, so the ~20k-term df
@@ -685,4 +800,8 @@ propagator_select_lanes_df_jit = jax.jit(
 propagator_select_lanes_df_fused_jit = jax.jit(
     propagator_select_lanes_df_fused,
     static_argnames=("jitter", "block_b", "t_min", "interpret"),
+)
+propagator_select_dense_df_fused_jit = jax.jit(
+    propagator_select_dense_df_fused,
+    static_argnames=("jitter", "tile", "t_min", "interpret"),
 )

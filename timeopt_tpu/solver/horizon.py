@@ -464,11 +464,18 @@ def _make_select_fused_cv(t_min: int):
         ]
         if _pallas_applicable(args[0]):
             from timeopt_tpu.ops.pallas_lft import (
+                propagator_select_dense_df_fused_jit,
                 propagator_select_lanes_df_fused_jit,
             )
 
             padded, Bb = _pad_batch(list(args))
-            J = propagator_select_lanes_df_fused_jit(*padded, t_min=t_min)[:Bb]
+            if padded[0].shape[0] % 1024 == 0:
+                # full (8, 128) batch tiles: the dense-layout kernel runs
+                # the same df op sequence with zero sublane padding
+                # (bit-identical J, ~23% fewer vector slots)
+                J = propagator_select_dense_df_fused_jit(*padded, t_min=t_min)[:Bb]
+            else:
+                J = propagator_select_lanes_df_fused_jit(*padded, t_min=t_min)[:Bb]
         else:
             J = jax.vmap(impl)(*args)
         return J, True
