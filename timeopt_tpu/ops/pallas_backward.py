@@ -59,8 +59,8 @@ def _backward_kernel(
 
     n = A.shape[0]
     m = Bm.shape[1]
-    bt = A.shape[-1]
-    eye_m = _eye_lanes(m, bt, A.dtype)
+    bshape = A.shape[2:]  # (bt,) lanes layout, (st, sl) dense-tile layout
+    eye_m = _eye_lanes(m, bshape, A.dtype)
 
     ok_prev = jnp.where(k == 0, (T_star > 0).astype(A.dtype), okc[0])
 
@@ -75,9 +75,9 @@ def _backward_kernel(
 
     @pl.when(t >= maxT)
     def _():
-        kap_ref[0] = jnp.zeros((m, bt), A.dtype)
-        kk_ref[0] = jnp.zeros((m, n, bt), A.dtype)
-        ok_ref[0, 0, :] = ok_prev
+        kap_ref[0] = jnp.zeros((m,) + bshape, A.dtype)
+        kk_ref[0] = jnp.zeros((m, n) + bshape, A.dtype)
+        ok_ref[0, 0] = ok_prev
         okc[0] = ok_prev
 
     @pl.when(t < maxT)
@@ -143,9 +143,9 @@ def _backward_step_body(
     zero = jnp.asarray(0.0, A.dtype)
     kap_f32 = kap[0] + kap[1]  # (m, 1, bt)
     K_f32 = K[0] + K[1]  # (m, n, bt)
-    kap_ref[0] = jnp.where(active[0], kap_f32[:, 0, :], zero)
+    kap_ref[0] = jnp.where(active[0], kap_f32[:, 0], zero)
     kk_ref[0] = jnp.where(active, K_f32, zero)
-    ok_ref[0, 0, :] = ok_new
+    ok_ref[0, 0] = ok_new
 
 
 def backward_lanes_df(
@@ -228,9 +228,106 @@ def backward_lanes_df(
     return kappa_b, K_b, ok_b
 
 
+def backward_dense_df(
+    A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star, lm,
+    *,
+    tile: tuple = (8, 128),
+    interpret: bool = False,
+):
+    """Batched truncated backward pass, dense-tile batch layout.
+
+    Same contract as backward_lanes_df, but the batch fills full
+    (sublane, lane) tiles — B % (tile[0]*tile[1]) == 0 — with matrix
+    indices on untiled leading axes (see ops/pallas_lft.py kernel 5: zero
+    sublane padding, broadcast-free matrix-axis reuse, bit-identical
+    output). The kernel body is the shared rank-agnostic _backward_kernel.
+
+    NOT routed in production: measured 5.40 vs the lanes kernel's 5.07
+    ms/iter (B=1024 quadrotor, scripts/bw_dense_probe.py) — the backward
+    step is latency-bound in its sequential m-dim factorization chains,
+    so the +23-25% vector density that wins 21% for select buys nothing
+    here. Kept as the measured negative result + a second exerciser of
+    the rank-agnostic kernel body.
+    """
+    st, sl = tile
+    tb = st * sl
+    Bb, N, n, _ = A.shape
+    m = B.shape[-1]
+    assert Bb % tb == 0, (Bb, tile)
+
+    to_lanes4 = lambda x: jnp.transpose(x, (1, 2, 3, 0))
+    to_lanes3 = lambda x: jnp.transpose(x, (1, 2, 0))
+    rt = lambda x: x.reshape(x.shape[:-1] + (Bb // sl, sl))
+    At = rt(to_lanes4(A))
+    Bt_ = rt(to_lanes4(B))
+    lxt = rt(to_lanes3(lx))
+    lut = rt(to_lanes3(lu))
+    Qst = rt(to_lanes4(Qstage))
+    QfeTt = rt(to_lanes3(QfeT))
+    etokt = rt(jnp.transpose(eT_ok, (1, 0))[:, None, :])  # (N, 1, Bb//sl, sl)
+    sokt = rt(jnp.transpose(step_ok, (1, 0))[:, None, :])
+    Qft = rt(jnp.transpose(Qf, (1, 2, 0)))  # (n, n, Bb//sl, sl)
+    Rt = rt(jnp.transpose(R, (1, 2, 0)))
+    tst = rt(T_star.astype(At.dtype)[None, None, :])  # (1, 1, Bb//sl, sl)
+    lmt = rt(lm[None, None, :])
+
+    grid = (Bb // tb, N)
+    rev5 = lambda i, k: (N - 1 - k, 0, 0, i, 0)
+    rev4 = lambda i, k: (N - 1 - k, 0, i, 0)
+    const4 = lambda i, k: (0, 0, i, 0)
+
+    spec_nn = pl.BlockSpec((1, n, n, st, sl), rev5, memory_space=pltpu.VMEM)
+    spec_nm = pl.BlockSpec((1, n, m, st, sl), rev5, memory_space=pltpu.VMEM)
+    spec_n = pl.BlockSpec((1, n, st, sl), rev4, memory_space=pltpu.VMEM)
+    spec_m = pl.BlockSpec((1, m, st, sl), rev4, memory_space=pltpu.VMEM)
+    spec_f = pl.BlockSpec((1, 1, st, sl), rev4, memory_space=pltpu.VMEM)
+    spec_qf = pl.BlockSpec((n, n, st, sl), const4, memory_space=pltpu.VMEM)
+    spec_r = pl.BlockSpec((m, m, st, sl), const4, memory_space=pltpu.VMEM)
+    spec_c = pl.BlockSpec((1, 1, st, sl), const4, memory_space=pltpu.VMEM)
+
+    out_kap = pl.BlockSpec((1, m, st, sl), rev4, memory_space=pltpu.VMEM)
+    out_K = pl.BlockSpec((1, m, n, st, sl), rev5, memory_space=pltpu.VMEM)
+    out_ok = pl.BlockSpec((1, 1, st, sl), rev4, memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_backward_kernel, N=N)
+    kappa, K, ok = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            spec_nn, spec_nm, spec_n, spec_m, spec_nn, spec_n, spec_f, spec_f,
+            spec_qf, spec_r, spec_c, spec_c,
+        ],
+        out_specs=(out_kap, out_K, out_ok),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, m, Bb // sl, sl), At.dtype),
+            jax.ShapeDtypeStruct((N, m, n, Bb // sl, sl), At.dtype),
+            jax.ShapeDtypeStruct((N, 1, Bb // sl, sl), At.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, st, sl), At.dtype),
+            pltpu.VMEM((n, st, sl), At.dtype),
+            pltpu.VMEM((n, n, st, sl), At.dtype),
+            pltpu.VMEM((n, n, st, sl), At.dtype),
+            pltpu.VMEM((1, st, sl), At.dtype),
+        ],
+        # (8,128)-tile temporaries are 8x the lanes kernel's; headroom over
+        # the 16 MB default scoped-vmem cap (see ops/pallas_lft.py kernel 5)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(At, Bt_, lxt, lut, Qst, QfeTt, etokt, sokt, Qft, Rt, tst, lmt)
+
+    kappa_b = jnp.transpose(kappa.reshape(N, m, Bb), (2, 0, 1))  # (B, N, m)
+    K_b = jnp.transpose(K.reshape(N, m, n, Bb), (3, 0, 1, 2))  # (B, N, m, n)
+    ok_b = ok.reshape(N, Bb)[0] > 0.5  # row t=0, written by the last grid step
+    return kappa_b, K_b, ok_b
+
+
 # Shared jit: the solver instantiates the backward kernel twice per trace
 # (warm start + loop body); caching the trace by avals halves its share of
 # the cold compile (see ops/pallas_lft.py note).
 backward_lanes_df_jit = jax.jit(
     backward_lanes_df, static_argnames=("block_b", "interpret")
+)
+backward_dense_df_jit = jax.jit(
+    backward_dense_df, static_argnames=("tile", "interpret")
 )

@@ -147,6 +147,12 @@ def _backward_vmap_rule(axis_size, in_batched, A, B, lx, lu, Qstage, QfeT, eT_ok
     ]
     A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star, lm = args
     if _pallas_applicable(A):
+        # Lanes layout on purpose: the dense-tile variant
+        # (ops/pallas_backward.backward_dense_df) is bit-identical but
+        # measured SLOWER here (5.40 vs 5.07 ms/iter at B=1024 quadrotor,
+        # scripts/bw_dense_probe.py) — unlike select, the backward step is
+        # latency-bound in its small sequential m-dim factorization chains,
+        # not sublane-padding-bound, so denser vregs buy nothing.
         from timeopt_tpu.ops.pallas_backward import backward_lanes_df_jit
         from timeopt_tpu.solver.horizon import _pad_batch
 
