@@ -85,7 +85,12 @@ def main():
     t_min = int(base.T_min)
 
     lanes = jax.jit(lambda *a: propagator_select_lanes_df_fused(*a, t_min=t_min))
-    dense = jax.jit(lambda *a: propagator_select_dense_df_fused(*a, t_min=t_min))
+    dense = jax.jit(
+        lambda *a: propagator_select_dense_df_fused(*a, t_min=t_min, trisym=False)
+    )
+    tri = jax.jit(
+        lambda *a: propagator_select_dense_df_fused(*a, t_min=t_min, trisym=True)
+    )
 
     Jl = np.asarray(lanes(*args))
     Jd = np.asarray(dense(*args))
@@ -96,7 +101,18 @@ def main():
         d = np.abs(np.where(ml & md, Jl - Jd, 0.0))
         print(f"  max abs diff {d.max():.3e}  n_diff {(d > 0).sum()}")
 
-    for name, fn in [("lanes", lanes), ("dense", dense)]:
+    Jt = np.asarray(tri(*args))
+    mt = np.isfinite(Jt)
+    rel = np.abs(np.where(md & mt, Jt - Jd, 0.0)) / (np.abs(np.where(md, Jd, 1.0)) + 1e-30)
+    exact = int(((Jt == Jd) | (~md & ~mt)).sum())
+    arg_d = np.where(md, Jd, np.inf).argmin(axis=1)
+    arg_t = np.where(mt, Jt, np.inf).argmin(axis=1)
+    print(
+        f"trisym vs dense: max rel {rel.max():.2e}  f32-exact {exact}/{Jt.size}"
+        f"  raw-argmin agree {(arg_d == arg_t).sum()}/{B}", flush=True
+    )
+
+    for name, fn in [("lanes", lanes), ("dense", dense), ("trisym", tri)]:
         t1 = timed_reps(fn, args, 1)
         tR = timed_reps(fn, args, REPS)
         per = (tR - t1) / (REPS - 1)

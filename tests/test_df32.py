@@ -96,3 +96,42 @@ def test_ldl_last_pivot_is_inv_corner(rng):
     for i in range(B):
         ref = np.linalg.inv(A64[:, :, i])[P - 1, P - 1]
         np.testing.assert_allclose(got[i], ref, rtol=1e-10)
+
+
+def test_trisym_products_match_full(rng):
+    """Triangle-symmetric products (dense-kernel path): lower triangle is
+    computed with the canonical per-entry op order of the full product —
+    bitwise equal to it in plain XLA-CPU f32 — and the assembled matrix is
+    exactly symmetric."""
+    X64 = rng.standard_normal((P, P, B))
+    D64 = np.abs(rng.standard_normal((P, 1, B))) + 0.1
+    X = _to_df(X64)
+    Xs = dfm.df_scale_rows(X, _to_df(D64))
+
+    full = dfm.df_matmul_tn(X, Xs)
+    tri = dfm.df_matmul_tn_trisym(X, Xs)
+    fh, th = np.asarray(full[0]), np.asarray(tri[0])
+    fl, tl = np.asarray(full[1]), np.asarray(tri[1])
+    il, jl_ = np.tril_indices(P)
+    np.testing.assert_array_equal(th[il, jl_], fh[il, jl_])
+    np.testing.assert_array_equal(tl[il, jl_], fl[il, jl_])
+    np.testing.assert_array_equal(th, np.swapaxes(th, 0, 1))
+    np.testing.assert_array_equal(tl, np.swapaxes(tl, 0, 1))
+
+    # A D A' form (df_matmul_trisym): X (p, k), Y = D X' (k, p)
+    Y = dfm.df_matmul(_to_df(np.swapaxes(X64, 0, 1) * 0 + np.eye(P)[:, :, None] * D64[:, 0][None]), dfm.df_mat(jnp.asarray(np.swapaxes(X64, 0, 1), dtype=jnp.float32)))
+    full2 = dfm.df_matmul(X, Y)
+    tri2 = dfm.df_matmul_trisym(X, Y)
+    f2h, t2h = np.asarray(full2[0]), np.asarray(tri2[0])
+    np.testing.assert_array_equal(t2h[il, jl_], f2h[il, jl_])
+    np.testing.assert_array_equal(t2h, np.swapaxes(t2h, 0, 1))
+
+    # rank-1 outer (df_outer_trisym)
+    u64 = rng.standard_normal((P, 1, B))
+    u = _to_df(u64)
+    us = dfm.df_mul(u, _to_df(np.full((1, 1, B), 0.37)))
+    full3 = dfm.df_matmul_nt(us, u)
+    tri3 = dfm.df_outer_trisym(us, u)
+    f3h, t3h = np.asarray(full3[0]), np.asarray(tri3[0])
+    np.testing.assert_array_equal(t3h[il, jl_], f3h[il, jl_])
+    np.testing.assert_array_equal(t3h, np.swapaxes(t3h, 0, 1))

@@ -221,6 +221,92 @@ def df_matmul_tn(X, Y):
     return quick_two_sum(*acc)
 
 
+def _sym_from_tri(rows):
+    """Assemble a full exactly-symmetric df (p, p, *b) matrix from lower-
+    triangle rows (rows[i] a df (i+1, *b) pair holding entries j <= i):
+    the strict upper triangle mirrors the lower — pure wiring, no flops."""
+    p = len(rows)
+    full_h, full_l = [], []
+    for i in range(p):
+        hs = [rows[i][0]]
+        ls = [rows[i][1]]
+        for j in range(i + 1, p):
+            hs.append(rows[j][0][i : i + 1])
+            ls.append(rows[j][1][i : i + 1])
+        full_h.append(jnp.concatenate(hs, axis=0))
+        full_l.append(jnp.concatenate(ls, axis=0))
+    return jnp.stack(full_h, axis=0), jnp.stack(full_l, axis=0)
+
+
+# ----- triangle-symmetric products -------------------------------------------
+# For products whose result is symmetric up to df rounding (U' D U
+# congruences, A D A' forms, rank-1 outer products), compute only the
+# lower-triangle entries — with the SAME per-entry op order as the full
+# product, so C_tri[i, j] == C_full[i, j] bitwise for i >= j — and mirror.
+# This replaces "compute all p^2 entries, then df_sym_half" (which averages
+# the two asymmetrically-rounded halves) with "compute p(p+1)/2 entries,
+# exactly symmetric by construction": ~46% fewer product flops and no
+# sym_half pass, at the same df accuracy class.
+#
+# Layout note: the ragged (i+1, *b) row shapes vectorize ONLY in the
+# dense-tile layout (ops/pallas_lft.py kernel 5), where matrix indices sit
+# on untiled leading axes; in the 128-lane layout rows of varying length
+# land on the sublane axis and re-pad to 8, which is why round 3 measured
+# this transform as a dead end there. Used by the dense kernels only.
+
+
+def df_matmul_tn_trisym(X, Y):
+    """Lower-triangle rows of C = X' Y (X: (k, p, *b), Y: (k, p, *b)),
+    assembled to the full symmetric matrix. Caller guarantees symmetry of
+    the exact product (e.g. Y = row-scaled X)."""
+    Xh, Xl = X
+    Yh, Yl = Y
+    kdim, p = Xh.shape[0], Xh.shape[1]
+    rows = []
+    for i in range(p):
+        acc = None
+        for k in range(kdim):
+            xk = (Xh[k, i][None], Xl[k, i][None])  # (1, *b)
+            yk = (Yh[k, : i + 1], Yl[k, : i + 1])  # (i+1, *b)
+            acc = _acc_step(acc, xk, yk)
+        rows.append(quick_two_sum(*acc))
+    return _sym_from_tri(rows)
+
+
+def df_matmul_trisym(X, Y):
+    """Lower-triangle rows of C = X Y (X: (p, k, *b), Y: (k, p, *b)),
+    assembled to the full symmetric matrix (e.g. A (D A') with D
+    symmetric)."""
+    Xh, Xl = X
+    Yh, Yl = Y
+    p, kdim = Xh.shape[0], Xh.shape[1]
+    rows = []
+    for i in range(p):
+        acc = None
+        for k in range(kdim):
+            xk = (Xh[i, k][None], Xl[i, k][None])  # (1, *b)
+            yk = (Yh[k, : i + 1], Yl[k, : i + 1])  # (i+1, *b)
+            acc = _acc_step(acc, xk, yk)
+        rows.append(quick_two_sum(*acc))
+    return _sym_from_tri(rows)
+
+
+def df_outer_trisym(x, y):
+    """Symmetric rank-1 outer product x y' from its lower triangle
+    (x, y: df (p, 1, *b) column pairs, y a scalar multiple of x)."""
+    xh, xl = x
+    yh, yl = y
+    p = xh.shape[0]
+    rows = []
+    for i in range(p):
+        xi = (xh[i], xl[i])  # (1, *b)
+        yi = (yh[: i + 1, 0], yl[: i + 1, 0])  # (i+1, *b)
+        ph, pe = two_prod(xi[0], yi[0])
+        pe = pe + (xi[0] * yi[1] + xi[1] * yi[0])
+        rows.append(quick_two_sum(ph, pe))
+    return _sym_from_tri(rows)
+
+
 def df_gj_solve_elast(A, jitter: float, eye):
     """Solve (A + jitter I) y = e_last for the LAST unit vector in df32; GJ
     elimination on a (p, p+1, b) augmented system (≈ half the work of the

@@ -69,7 +69,7 @@ def df_lft_element_ldl(Ak, Qk, BRBk, *, jitter: float):
     return E, F, G
 
 
-def df_lft_compose(first, second, *, jitter: float):
+def df_lft_compose(first, second, *, jitter: float, trisym: bool = False):
     """Associative composition of df32 LFT triples (first, then second):
 
         W = (E2 + G1 + jitter I)^-1
@@ -78,6 +78,11 @@ def df_lft_compose(first, second, *, jitter: float):
     (reference prefix recursion, /root/reference/horizon_selection.py:67-75).
     W is never formed: quadratic/bilinear forms reduce to forward trisolves
     against the LDL' factor of (E2 + G1) plus pivot row-scaling.
+
+    trisym=True computes the two symmetric congruence products from their
+    lower triangles (df32.df_matmul_tn_trisym — exactly symmetric, no
+    sym_half averaging pass, ~46% fewer product flops); dense-tile kernels
+    only (see the layout note in ops/df32.py).
     """
     E1, F1, G1 = first
     E2, F2, G2 = second
@@ -93,13 +98,17 @@ def df_lft_compose(first, second, *, jitter: float):
         Lw, dfm.df_rows_concat(dfm.df_rows_bt(F1), dfm.df_rows(F2))
     )
     UVs = dfm.df_scale_rows(UV, idw)
-    U2 = (UV[0][:, :p, :], UV[1][:, :p, :])
-    U2s = (UVs[0][:, :p, :], UVs[1][:, :p, :])
-    V2 = (UV[0][:, p:, :], UV[1][:, p:, :])
-    V2s = (UVs[0][:, p:, :], UVs[1][:, p:, :])
-    E = dfm.df_sym_half(dfm.df_sub(E1, dfm.df_matmul_tn(U2, U2s)))
+    U2 = (UV[0][:, :p], UV[1][:, :p])
+    U2s = (UVs[0][:, :p], UVs[1][:, :p])
+    V2 = (UV[0][:, p:], UV[1][:, p:])
+    V2s = (UVs[0][:, p:], UVs[1][:, p:])
     F = dfm.df_matmul_tn(U2s, V2)
-    G = dfm.df_sym_half(dfm.df_sub(G2, dfm.df_matmul_tn(V2, V2s)))
+    if trisym:
+        E = dfm.df_sub(E1, dfm.df_matmul_tn_trisym(U2, U2s))
+        G = dfm.df_sub(G2, dfm.df_matmul_tn_trisym(V2, V2s))
+    else:
+        E = dfm.df_sym_half(dfm.df_sub(E1, dfm.df_matmul_tn(U2, U2s)))
+        G = dfm.df_sym_half(dfm.df_sub(G2, dfm.df_matmul_tn(V2, V2s)))
     return E, F, G
 
 

@@ -300,7 +300,7 @@ def _df_select_step(
     )
 
 
-def _df_compose(E, F, G, cEh, cEl, cFh, cFl, cGh, cGl, *, jitter):
+def _df_compose(E, F, G, cEh, cEl, cFh, cFl, cGh, cGl, *, jitter, trisym=False):
     """Compose the step-k LFT element (E, F, G) onto the VMEM-resident df32
     prefix carry; returns the updated prefix (also written back to VMEM)."""
     from timeopt_tpu.ops.lft_df import df_lft_compose
@@ -318,7 +318,7 @@ def _df_compose(E, F, G, cEh, cEl, cFh, cFl, cGh, cGl, *, jitter):
     cG = (cGh[:], cGl[:])
     # W = (E + Ḡ)^-1 via LDL'; W never formed (see ops/lft_df.df_lft_compose,
     # the shared math with the XLA latency-mode associative select)
-    Ec, Fc, Gc = df_lft_compose((cE, cF, cG), (E, F, G), jitter=jitter)
+    Ec, Fc, Gc = df_lft_compose((cE, cF, cG), (E, F, G), jitter=jitter, trisym=trisym)
 
     def sel(a, b):
         return (jnp.where(is0, a[0], b[0]), jnp.where(is0, a[1], b[1]))
@@ -365,7 +365,8 @@ def _df_compose_query(
 
 
 def _df_compose_query_w0(
-    E, F, G, etil, W0, j_ref, cEh, cEl, cFh, cFl, cGh, cGl, *, jitter, t_min
+    E, F, G, etil, W0, j_ref, cEh, cEl, cFh, cFl, cGh, cGl, *, jitter, t_min,
+    trisym=False,
 ):
     """Compose + terminal query in the Lt-cancelled form (default fused path).
 
@@ -389,7 +390,9 @@ def _df_compose_query_w0(
     n = etil.shape[0]
     bshape = E[0].shape[2:]
 
-    Ep, Fp, Gp = _df_compose(E, F, G, cEh, cEl, cFh, cFl, cGh, cGl, jitter=jitter)
+    Ep, Fp, Gp = _df_compose(
+        E, F, G, cEh, cEl, cFh, cFl, cGh, cGl, jitter=jitter, trisym=trisym
+    )
 
     @pl.when(k + 1 >= t_min)
     def _():
@@ -411,7 +414,10 @@ def _df_compose_query_w0(
         # X0 = Ep - FẼ' K^-1 ẼF' = Ep - Vq' Dk^-1 Vq,  Vq = Lk^-1 (FẼ')'
         Vq = dfm.df_trisolve_unit_lower_bt(Lk, FEt)
         Vqs = dfm.df_scale_rows(Vq, idk)
-        X0 = dfm.df_sym_half(dfm.df_sub(Ep, dfm.df_matmul_tn(Vq, Vqs)))
+        if trisym:
+            X0 = dfm.df_sub(Ep, dfm.df_matmul_tn_trisym(Vq, Vqs))
+        else:
+            X0 = dfm.df_sym_half(dfm.df_sub(Ep, dfm.df_matmul_tn(Vq, Vqs)))
         _df_query_lastpivot(X0, j_ref, jitter=jitter)
 
     @pl.when(k + 1 < t_min)
@@ -494,7 +500,7 @@ def propagator_select_lanes_df(
 def _df_select_fused_kernel(
     a_ref, b_ref, vec_ref, scal_ref, iqh_ref, iql_ref, rinv_ref,
     w0h_ref, w0l_ref,
-    j_ref, cEh, cEl, cFh, cFl, cGh, cGl, *, jitter, t_min,
+    j_ref, cEh, cEl, cFh, cFl, cGh, cGl, *, jitter, t_min, trisym=False,
 ):
     """Assemble the step-k augmented blocks from raw inputs (same arithmetic
     as solver/augmented.py build_augmented + build_terminal_factors, f32 —
@@ -554,6 +560,21 @@ def _df_select_fused_kernel(
     # BRB = [[B R^-1 B', 0], [0, 0]]
     BR = _mm(Bk, Rinv)  # (n, m, bt)
     brb_n = _mm_a_bt(BR, Bk)  # (n, n, bt)
+    if trisym:
+        # mirror the lower triangle so BRB is exactly symmetric (the f32
+        # row-sum products round asymmetrically); pure wiring — the old
+        # path's G sym_half absorbed this
+        brb_n = jnp.stack(
+            [
+                jnp.concatenate(
+                    [brb_n[i, : i + 1]]
+                    + [brb_n[j, i : i + 1] for j in range(i + 1, n)],
+                    axis=0,
+                )
+                for i in range(n)
+            ],
+            axis=0,
+        )
     zcol = jnp.zeros((n, 1) + bshape, dtype)
     zrow = jnp.zeros((1, n + 1) + bshape, dtype)
     BRB = jnp.concatenate([jnp.concatenate([brb_n, zcol], axis=1), zrow], axis=0)
@@ -578,8 +599,12 @@ def _df_select_fused_kernel(
     u_s = dfm.df_mul(u, inv_s)
 
     # E = blkdiag(iQq, 0) + (1/s) u u'   (symmetric by construction: iq is
-    # symmetrized host-side and u u' is df-exactly symmetric)
-    uu = dfm.df_matmul_nt(u_s, u)  # (p, p, bt)
+    # symmetrized host-side; trisym computes the rank-1 term from its
+    # lower triangle, exactly symmetric)
+    if trisym:
+        uu = dfm.df_outer_trisym(u_s, u)  # (p, p, bt)
+    else:
+        uu = dfm.df_matmul_nt(u_s, u)  # (p, p, bt)
     pad = lambda M: jnp.concatenate(  # noqa: E731
         [jnp.concatenate([M, zcol], axis=1), zrow], axis=0
     )
@@ -597,14 +622,21 @@ def _df_select_fused_kernel(
     F = dfm.df_add(DAt, uv)
 
     # G = A_aug D A_aug' + (1/s) v v' + BRB;  A_aug D A_aug' = A_left DAt_top
-    ADA = dfm.df_matmul(dfm.df_mat(A_left), DAt_top)  # (p, p, bt)
     v_s = dfm.df_mul(v, inv_s)
-    vv = dfm.df_matmul_nt(v_s, v)
-    G = dfm.df_sym_half(dfm.df_add(dfm.df_add(ADA, vv), dfm.df_mat(BRB)))
+    if trisym:
+        ADA = dfm.df_matmul_trisym(dfm.df_mat(A_left), DAt_top)  # (p, p, bt)
+        vv = dfm.df_outer_trisym(v_s, v)
+        # every addend exactly symmetric + elementwise df adds -> G exactly
+        # symmetric without the sym_half pass
+        G = dfm.df_add(dfm.df_add(ADA, vv), dfm.df_mat(BRB))
+    else:
+        ADA = dfm.df_matmul(dfm.df_mat(A_left), DAt_top)  # (p, p, bt)
+        vv = dfm.df_matmul_nt(v_s, v)
+        G = dfm.df_sym_half(dfm.df_add(dfm.df_add(ADA, vv), dfm.df_mat(BRB)))
 
     _df_compose_query_w0(
         E, F, G, etil, W0, j_ref, cEh, cEl, cFh, cFl, cGh, cGl,
-        jitter=jitter, t_min=t_min,
+        jitter=jitter, t_min=t_min, trisym=trisym,
     )
 
 
@@ -706,6 +738,7 @@ def propagator_select_dense_df_fused(
     jitter: float = 1e-9,
     tile: tuple = (8, 128),
     t_min: int = 1,
+    trisym: bool = True,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused-assembly df32 propagator selection, dense-tile batch layout.
@@ -714,8 +747,18 @@ def propagator_select_dense_df_fused(
     (B, N, n, m); vecs: (B, N, 4, n); scal: (B, N, 4); Qq: (B, n, n);
     R_inv: (B, m, m); Lt: (B, n, n); returns J: (B, N) with +inf below
     t_min), but the batch is packed into full (sublane, lane) tiles —
-    B % (tile[0]*tile[1]) == 0 — instead of 128-lane slabs. Bit-identical
-    output to the lanes kernel (identical per-element op sequence)."""
+    B % (tile[0]*tile[1]) == 0 — instead of 128-lane slabs.
+
+    trisym (default True): compute the symmetric products (compose E/G
+    congruences, query X0 congruence, element ADA/rank-1 terms) from their
+    lower triangles and mirror — exactly symmetric by construction, ~20%
+    fewer df terms per step, viable only in this layout (see the note in
+    ops/df32.py). With trisym=False the kernel runs the identical
+    per-element op sequence as the lanes kernel and its output is
+    bit-identical to it (verified on hardware,
+    scripts/select_dense_probe.py); with trisym=True the J curve agrees to
+    df-rounding level (f32-output differences at ~1 ulp; same T* stats —
+    validated e2e by the same probe)."""
     from timeopt_tpu.ops import df32 as dfm
 
     st, sl = tile
@@ -768,7 +811,9 @@ def propagator_select_dense_df_fused(
         (1, 1, st, sl), lambda i, k: (k, 0, i, 0), memory_space=pltpu.VMEM
     )
 
-    kernel = functools.partial(_df_select_fused_kernel, jitter=jitter, t_min=t_min)
+    kernel = functools.partial(
+        _df_select_fused_kernel, jitter=jitter, t_min=t_min, trisym=trisym
+    )
     scratch = [pltpu.VMEM((p, p, st, sl), At.dtype) for _ in range(6)]
     # (8, 128)-tile temporaries are 8x the lanes kernel's; the body's live set
     # (~22 slab-equivalents at 692 KB) exceeds the default 16 MB scoped-vmem
@@ -803,5 +848,5 @@ propagator_select_lanes_df_fused_jit = jax.jit(
 )
 propagator_select_dense_df_fused_jit = jax.jit(
     propagator_select_dense_df_fused,
-    static_argnames=("jitter", "tile", "t_min", "interpret"),
+    static_argnames=("jitter", "tile", "t_min", "trisym", "interpret"),
 )
