@@ -119,5 +119,53 @@ def main():
         print(f"{name:6s} per-select {per*1e3:8.2f} ms  (1 rep {t1*1e3:7.1f}, {REPS} reps {tR*1e3:7.1f})", flush=True)
 
 
+
+
+def tile_sweep():
+    """TILE_SWEEP=1: time the trisym kernel at alternative dense tiles
+    (wider sublane/lane tiles may hide dependent-op latency)."""
+    system, mk = get_system(os.environ.get("CASE", "Quadrotor"))
+    base = mk(dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    x0s = np.tile(np.asarray(base.x0, np.float32), (B, 1))
+    x0s[:, :3] += 0.4 * rng.standard_normal((B, 3)).astype(np.float32)
+    probs = broadcast_problem(base, B).replace(x0=jnp.asarray(x0s))
+    opts = SolveOptions(method="propagator", max_iter=12, psd_levels=1)
+    Tm = base.T_max
+
+    @jax.jit
+    def prep(probs):
+        def one(p):
+            U = jnp.broadcast_to(p.u_ref[None, :], (base.N, system.m))
+            X = rollout(system, p, p.x0, U)
+            A, Bm = linearize(system.step, X, U, "ad")
+            return build_fused_inputs(
+                system, p, X[: Tm + 1], U[:Tm], A[:Tm], Bm[:Tm],
+                q_reg=resolve_q_reg(opts, jnp.float32), rho_reg=opts.rho_reg,
+                psd_levels=1, scale=True,
+            )
+        return jax.vmap(one)(probs)
+
+    fi = prep(probs)
+    args = (fi.A, fi.B, fi.vecs, fi.scal, fi.Qq, fi.R_inv, fi.Lt)
+    t_min = int(base.T_min)
+    for tile in [(8, 128), (16, 128), (8, 256), (32, 128)]:
+        if B % (tile[0] * tile[1]):
+            continue
+        fn = jax.jit(
+            lambda *a, _t=tile: propagator_select_dense_df_fused(
+                *a, t_min=t_min, tile=_t, trisym=True
+            )
+        )
+        try:
+            t1 = timed_reps(fn, args, 1)
+            tR = timed_reps(fn, args, REPS)
+            per = (tR - t1) / (REPS - 1)
+            print(f"tile={tile}  per-select {per*1e3:8.2f} ms", flush=True)
+        except Exception as e:
+            print(f"tile={tile}  FAILED: {type(e).__name__}: {str(e)[:160]}", flush=True)
+
+
+
 if __name__ == "__main__":
-    main()
+    (tile_sweep if os.environ.get("TILE_SWEEP") else main)()
