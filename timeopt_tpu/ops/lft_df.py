@@ -115,7 +115,7 @@ def df_lft_compose(first, second, *, jitter: float, trisym: bool = False):
 def df_lft_query_lastpivot(X0, *, jitter: float):
     """J = 0.5 (X0^-1)[p-1, p-1] = 0.5 / d_p — the last pivot of the
     unpivoted LDL' of (X0 + jitter I), reciprocal already computed.
-    Returns f32 (b,)."""
+    Returns f32 with the trailing batch shape (X0[0].shape[2:])."""
     p = X0[0].shape[0]
     eye_p = eye_lanes(p, X0[0].shape[2:], X0[0].dtype)
     _, _, idx0 = dfm.df_ldl(X0, jitter, eye_p)

@@ -720,8 +720,11 @@ def propagator_select_lanes_df_fused(
 # The kernel body is byte-for-byte the same code (`_df_select_fused_kernel`
 # is rank-agnostic); only the block geometry differs, and since every df op
 # is elementwise over the batch the result is bit-identical to the lanes
-# kernel. Requires B % 1024 == 0 (a full (8, 128) tile per grid step);
-# horizon.py routes batches that satisfy it here, the rest to kernel 4.
+# kernel (with trisym=False; the trisym default changes rounding at f32-ulp
+# level, see the wrapper docstring). Requires B % 1024 == 0 (a full (8, 128)
+# tile per grid step); horizon.py pads any batch > 512 up to the next 1024
+# multiple and routes it here — the per-element win beats the pad waste from
+# there on — and sends smaller batches to kernel 4.
 # =============================================================================
 
 

@@ -468,13 +468,18 @@ def _make_select_fused_cv(t_min: int):
                 propagator_select_lanes_df_fused_jit,
             )
 
-            padded, Bb = _pad_batch(list(args))
-            if padded[0].shape[0] % 1024 == 0:
-                # full (8, 128) batch tiles: the dense-layout kernel runs
-                # the same df op sequence with zero sublane padding
-                # (bit-identical J, ~23% fewer vector slots)
+            # Dense-tile kernel (full (8, 128) batch tiles, trisym
+            # products) costs ~19.8 ms per 1024-block vs the lanes
+            # kernel's ~5.15 ms per 128-lane tile (quadrotor N=160), so
+            # padding the batch up to the next 1024 multiple wins for any
+            # B > 512 even when most of the pad is filler. B <= 512 keeps
+            # the lanes kernel — which also keeps the committed
+            # oracle/suite shapes (B <= 128) on the bit-stable lanes path.
+            if args[0].shape[0] > 512:
+                padded, Bb = _pad_batch(list(args), multiple=1024)
                 J = propagator_select_dense_df_fused_jit(*padded, t_min=t_min)[:Bb]
             else:
+                padded, Bb = _pad_batch(list(args))
                 J = propagator_select_lanes_df_fused_jit(*padded, t_min=t_min)[:Bb]
         else:
             J = jax.vmap(impl)(*args)
