@@ -118,3 +118,31 @@ def test_fused_select_df_matches_xla_loose(rng):
     )
     assert np.all(np.isinf(J_df[:, :2]))
     np.testing.assert_allclose(J_df[:, 2:], J_ref[:, 2:], rtol=5e-3, atol=1e-3)
+
+
+def test_generic_dense_trisym_matches_lanes(rng):
+    """Generic dense-tile kernel (k-varying Q_aug path) vs the lanes
+    kernel, trisym on and off. trisym=False runs the identical op sequence
+    (bitwise on TPU hardware); trisym computes symmetric congruences
+    triangle-only (f32-ulp agreement). Both loose on compiled CPU
+    (ops/df32.py backend caveat)."""
+    from timeopt_tpu.ops.pallas_lft import (
+        propagator_select_dense_df,
+        propagator_select_lanes_df,
+    )
+
+    A_aug, B_aug, Q_aug, R_inv, C = _batched_blocks(rng)
+    J_l = np.asarray(
+        propagator_select_lanes_df(
+            A_aug, B_aug, Q_aug, R_inv, C, block_b=8, t_min=3, interpret=True
+        )
+    )
+    for tri in (False, True):
+        J_d = np.asarray(
+            propagator_select_dense_df(
+                A_aug, B_aug, Q_aug, R_inv, C, tile=(2, 4), t_min=3,
+                trisym=tri, interpret=True,
+            )
+        )
+        assert np.all(np.isinf(J_d[:, :2]))
+        np.testing.assert_allclose(J_d[:, 2:], J_l[:, 2:], rtol=1e-3, atol=1e-3)

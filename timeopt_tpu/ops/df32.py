@@ -291,6 +291,24 @@ def df_matmul_trisym(X, Y):
     return _sym_from_tri(rows)
 
 
+def df_matmul_nt_trisym(X, Y):
+    """Lower-triangle rows of C = X Y' (X: (p, k, *b), Y: (p, k, *b)),
+    assembled to the full symmetric matrix (e.g. (C G) C' with G
+    symmetric)."""
+    Xh, Xl = X
+    Yh, Yl = Y
+    p, kdim = Xh.shape[0], Xh.shape[1]
+    rows = []
+    for i in range(p):
+        acc = None
+        for k in range(kdim):
+            xk = (Xh[i, k][None], Xl[i, k][None])  # (1, *b)
+            yk = (Yh[: i + 1, k], Yl[: i + 1, k])  # (i+1, *b)
+            acc = _acc_step(acc, xk, yk)
+        rows.append(quick_two_sum(*acc))
+    return _sym_from_tri(rows)
+
+
 def df_outer_trisym(x, y):
     """Symmetric rank-1 outer product x y' from its lower triangle
     (x, y: df (p, 1, *b) column pairs, y a scalar multiple of x)."""

@@ -40,13 +40,35 @@ def eye_lanes(p: int, b, dtype) -> jax.Array:
     return (rows == cols).astype(dtype)
 
 
-def df_lft_element_ldl(Ak, Qk, BRBk, *, jitter: float):
+def _mirror_lower(M):
+    """Exactly-symmetric copy of a (p, p, *b) f32 array from its lower
+    triangle (pure wiring; the upper-triangle entries of row-sum products
+    round asymmetrically)."""
+    p = M.shape[0]
+    return jnp.stack(
+        [
+            jnp.concatenate(
+                [M[i, : i + 1]] + [M[j, i : i + 1] for j in range(i + 1, p)],
+                axis=0,
+            )
+            for i in range(p)
+        ],
+        axis=0,
+    )
+
+
+def df_lft_element_ldl(Ak, Qk, BRBk, *, jitter: float, trisym: bool = False):
     """LFT element from augmented blocks, arbitrary (k-varying) Q_aug.
 
     Ak, Qk, BRBk: f32 (p, p, b). Returns df32 (E, F, G) with
       E = (Q + jitter I)^-1,  F = E A',  G = A E A' + BRB
     via an unpivoted LDL' of Q (every inverse acts on an SPD matrix, so its
     action is a unit-lower trisolve + pivot scaling).
+
+    trisym=True (dense-tile kernels only, see ops/df32.py): the A Q^-1 A'
+    congruence computes only its lower triangle and mirrors; BRB and the
+    trisolve-produced E are mirrored from their lower triangles instead of
+    sym_half-averaged — exactly symmetric G/E with fewer flops.
     """
     p = Ak.shape[0]
     eye_p = eye_lanes(p, Ak.shape[2:], Ak.dtype)
@@ -58,14 +80,23 @@ def df_lft_element_ldl(Ak, Qk, BRBk, *, jitter: float):
         dfm.df_rows_concat(dfm.df_rows_bt(dfm.df_mat(Ak)), dfm.df_rows(dfm.df_mat(eye_p))),
     )  # (p, 2p, b) = [L^-1 A' | L^-1]
     Zs = dfm.df_scale_rows(Z, idq)
-    Z0 = (Z[0][:, :p, :], Z[1][:, :p, :])
-    Z0s = (Zs[0][:, :p, :], Zs[1][:, :p, :])
-    G = dfm.df_sym_half(
-        dfm.df_add(dfm.df_matmul_tn(Z0, Z0s), dfm.df_mat(BRBk))
-    )  # A Q^-1 A' + BRB
+    Z0 = (Z[0][:, :p], Z[1][:, :p])
+    Z0s = (Zs[0][:, :p], Zs[1][:, :p])
+    if trisym:
+        G = dfm.df_add(
+            dfm.df_matmul_tn_trisym(Z0, Z0s), dfm.df_mat(_mirror_lower(BRBk))
+        )  # A Q^-1 A' + BRB
+    else:
+        G = dfm.df_sym_half(
+            dfm.df_add(dfm.df_matmul_tn(Z0, Z0s), dfm.df_mat(BRBk))
+        )  # A Q^-1 A' + BRB
     FE = dfm.df_trisolve_unit_lower_t(Lq, Zs)  # [E A' | E]
-    F = (FE[0][:, :p, :], FE[1][:, :p, :])
-    E = dfm.df_sym_half((FE[0][:, p:, :], FE[1][:, p:, :]))
+    F = (FE[0][:, :p], FE[1][:, :p])
+    if trisym:
+        Eh, El = FE[0][:, p:], FE[1][:, p:]
+        E = (_mirror_lower(Eh), _mirror_lower(El))
+    else:
+        E = dfm.df_sym_half((FE[0][:, p:], FE[1][:, p:]))
     return E, F, G
 
 
@@ -122,20 +153,30 @@ def df_lft_query_lastpivot(X0, *, jitter: float):
     return 0.5 * (idx0[0][p - 1, 0] + idx0[1][p - 1, 0])
 
 
-def df_lft_query_factored(prefix, Cdf, *, jitter: float):
+def df_lft_query_factored(prefix, Cdf, *, jitter: float, trisym: bool = False):
     """Factored terminal query in the generic C-form (C the (n, p, b)
     terminal factor): S = I + C G C', X0 = E - FC' S^-1 CF',
-    J = 0.5 (X0^-1)[p-1, p-1]. Returns f32 (b,)."""
+    J = 0.5 (X0^-1)[p-1, p-1]. Returns f32 (b,).
+
+    trisym=True (dense-tile kernels only): the C G C' and Vq' D^-1 Vq
+    congruences compute lower triangles only and mirror (requires G
+    symmetric, which the trisym compose/element guarantee)."""
     Ep, Fp, Gp = prefix
     n = Cdf[0].shape[0]
     eye_n = eye_lanes(n, Ep[0].shape[2:], Ep[0].dtype)
 
     CG = dfm.df_matmul(Cdf, Gp)  # (n, p)
-    S = dfm.df_add(dfm.df_mat(eye_n), dfm.df_matmul_nt(CG, Cdf))
+    if trisym:
+        S = dfm.df_add(dfm.df_mat(eye_n), dfm.df_matmul_nt_trisym(CG, Cdf))
+    else:
+        S = dfm.df_add(dfm.df_mat(eye_n), dfm.df_matmul_nt(CG, Cdf))
     Lsq, _, idsq = dfm.df_ldl(S, 0.0, eye_n)
     FCt = dfm.df_matmul_nt(Fp, Cdf)  # (p, n)
     # X0 = Ep - FCt S^-1 FCt' = Ep - Vq' Dsq^-1 Vq,  Vq = Lsq^-1 FCt'
     Vq = dfm.df_trisolve_unit_lower_bt(Lsq, FCt)
     Vqs = dfm.df_scale_rows(Vq, idsq)
-    X0 = dfm.df_sym_half(dfm.df_sub(Ep, dfm.df_matmul_tn(Vq, Vqs)))
+    if trisym:
+        X0 = dfm.df_sub(Ep, dfm.df_matmul_tn_trisym(Vq, Vqs))
+    else:
+        X0 = dfm.df_sym_half(dfm.df_sub(Ep, dfm.df_matmul_tn(Vq, Vqs)))
     return df_lft_query_lastpivot(X0, jitter=jitter)

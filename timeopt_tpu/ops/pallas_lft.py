@@ -281,7 +281,8 @@ def propagator_select_lanes(
 
 
 def _df_select_step(
-    Ak, Qk, BRBk, Ck, j_ref, cEh, cEl, cFh, cFl, cGh, cGl, *, jitter, t_min
+    Ak, Qk, BRBk, Ck, j_ref, cEh, cEl, cFh, cFl, cGh, cGl, *, jitter, t_min,
+    trisym=False,
 ):
     """Per-step body of the generic df32 select kernel: build the LFT element
     for step k from the (p, p, bt) augmented blocks via an LDL' of Q_aug
@@ -292,11 +293,11 @@ def _df_select_step(
     via ops/lft_df.py."""
     from timeopt_tpu.ops.lft_df import df_lft_element_ldl
 
-    E, F, G = df_lft_element_ldl(Ak, Qk, BRBk, jitter=jitter)
+    E, F, G = df_lft_element_ldl(Ak, Qk, BRBk, jitter=jitter, trisym=trisym)
 
     _df_compose_query(
         E, F, G, Ck, j_ref, cEh, cEl, cFh, cFl, cGh, cGl,
-        jitter=jitter, t_min=t_min,
+        jitter=jitter, t_min=t_min, trisym=trisym,
     )
 
 
@@ -340,7 +341,8 @@ def _df_query_lastpivot(X0, j_ref, *, jitter):
 
 
 def _df_compose_query(
-    E, F, G, Ck, j_ref, cEh, cEl, cFh, cFl, cGh, cGl, *, jitter, t_min
+    E, F, G, Ck, j_ref, cEh, cEl, cFh, cFl, cGh, cGl, *, jitter, t_min,
+    trisym=False,
 ):
     """Compose + factored terminal query in the generic C-form (C the
     (n, p) terminal factor): S = I + C G C', X0 = E - FC' S^-1 CF'."""
@@ -350,13 +352,15 @@ def _df_compose_query(
     k = pl.program_id(1)
     bshape = E[0].shape[2:]
 
-    Ep, Fp, Gp = _df_compose(E, F, G, cEh, cEl, cFh, cFl, cGh, cGl, jitter=jitter)
+    Ep, Fp, Gp = _df_compose(
+        E, F, G, cEh, cEl, cFh, cFl, cGh, cGl, jitter=jitter, trisym=trisym
+    )
 
     # horizons below T_min never reach the argmin window — skip their queries
     @pl.when(k + 1 >= t_min)
     def _():
         j_ref[0, 0] = df_lft_query_factored(
-            (Ep, Fp, Gp), dfm.df_mat(Ck), jitter=jitter
+            (Ep, Fp, Gp), dfm.df_mat(Ck), jitter=jitter, trisym=trisym
         )
 
     @pl.when(k + 1 < t_min)
@@ -426,13 +430,15 @@ def _df_compose_query_w0(
 
 
 def _df_select_kernel(
-    a_ref, q_ref, brb_ref, c_ref, j_ref, cEh, cEl, cFh, cFl, cGh, cGl, *, jitter, t_min
+    a_ref, q_ref, brb_ref, c_ref, j_ref, cEh, cEl, cFh, cFl, cGh, cGl,
+    *, jitter, t_min, trisym=False,
 ):
-    """df32 select on pre-assembled augmented blocks (legacy entry; the
-    fused kernel below assembles the blocks in-kernel)."""
+    """df32 select on pre-assembled augmented blocks (the generic path for
+    k-varying Q_aug, e.g. extra_stage_cost; the fused kernel below
+    assembles the blocks in-kernel for the stationary stage cost)."""
     _df_select_step(
         a_ref[0], q_ref[0], brb_ref[0], c_ref[0], j_ref,
-        cEh, cEl, cFh, cFl, cGh, cGl, jitter=jitter, t_min=t_min,
+        cEh, cEl, cFh, cFl, cGh, cGl, jitter=jitter, t_min=t_min, trisym=trisym,
     )
 
 
@@ -486,6 +492,68 @@ def propagator_select_lanes_df(
         interpret=interpret,
     )(At, Qt, BRBt, Ct)
     return jnp.transpose(out[:, 0, :], (1, 0))
+
+
+@full_matmul_precision
+def propagator_select_dense_df(
+    A_aug: jax.Array,
+    B_aug: jax.Array,
+    Q_aug: jax.Array,
+    R_inv: jax.Array,
+    C: jax.Array,
+    *,
+    jitter: float = 1e-9,
+    tile: tuple = (8, 128),
+    t_min: int = 1,
+    trisym: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Generic (k-varying Q_aug) df32 selection, dense-tile batch layout.
+
+    Same contract as propagator_select_lanes_df, batch packed into full
+    (sublane, lane) tiles with matrix indices on untiled leading axes (see
+    kernel 5 below for the layout rationale) — B % (tile[0]*tile[1]) == 0.
+    trisym computes the symmetric congruences triangle-only (J agrees with
+    the lanes kernel to f32 ulp; trisym=False is bit-identical to it)."""
+    st, sl = tile
+    tb = st * sl
+
+    BRB = jnp.einsum("bnim,bmo,bnjo->bnij", B_aug, R_inv, B_aug)
+    At, Qt, BRBt = (jnp.transpose(x, (1, 2, 3, 0)) for x in (A_aug, Q_aug, BRB))
+    Ct = jnp.transpose(C, (1, 2, 3, 0))
+
+    N, p, _, B = At.shape
+    n = Ct.shape[1]
+    assert B % tb == 0, (B, tile)
+    grid = (B // tb, N)
+
+    rt = lambda x: x.reshape(x.shape[:-1] + (B // sl, sl))  # noqa: E731
+
+    mat = pl.BlockSpec(
+        (1, p, p, st, sl), lambda i, k: (k, 0, 0, i, 0), memory_space=pltpu.VMEM
+    )
+    cspec = pl.BlockSpec(
+        (1, n, p, st, sl), lambda i, k: (k, 0, 0, i, 0), memory_space=pltpu.VMEM
+    )
+    jspec = pl.BlockSpec(
+        (1, 1, st, sl), lambda i, k: (k, 0, i, 0), memory_space=pltpu.VMEM
+    )
+
+    kernel = functools.partial(
+        _df_select_kernel, jitter=jitter, t_min=t_min, trisym=trisym
+    )
+    scratch = [pltpu.VMEM((p, p, st, sl), At.dtype) for _ in range(6)]
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[mat, mat, mat, cspec],
+        out_specs=jspec,
+        out_shape=jax.ShapeDtypeStruct((N, 1, B // sl, sl), At.dtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(rt(At), rt(Qt), rt(BRBt), rt(Ct))
+    return jnp.transpose(out.reshape(N, B), (1, 0))
 
 
 # =============================================================================
@@ -844,6 +912,10 @@ def propagator_select_dense_df_fused(
 propagator_select_lanes_df_jit = jax.jit(
     propagator_select_lanes_df,
     static_argnames=("jitter", "block_b", "t_min", "interpret"),
+)
+propagator_select_dense_df_jit = jax.jit(
+    propagator_select_dense_df,
+    static_argnames=("jitter", "tile", "t_min", "trisym", "interpret"),
 )
 propagator_select_lanes_df_fused_jit = jax.jit(
     propagator_select_lanes_df_fused,

@@ -387,15 +387,25 @@ def _make_select_cv(t_min: int):
         ]
         A_aug, B_aug, Q_aug, R_inv, C = args
         if _pallas_applicable(A_aug):
-            from timeopt_tpu.ops.pallas_lft import propagator_select_lanes_df_jit
+            from timeopt_tpu.ops.pallas_lft import (
+                propagator_select_dense_df_jit,
+                propagator_select_lanes_df_jit,
+            )
 
-            (A_aug, B_aug, Q_aug, R_inv, C), Bb = _pad_batch(
-                [A_aug, B_aug, Q_aug, R_inv, C]
-            )
-            J = propagator_select_lanes_df_jit(
-                A_aug, B_aug, Q_aug, R_inv, C, t_min=t_min
-            )
-            J = J[:Bb]
+            # same dense-vs-lanes routing rule as the fused path below
+            if A_aug.shape[0] > 512:
+                padded, Bb = _pad_batch(
+                    [A_aug, B_aug, Q_aug, R_inv, C], multiple=1024
+                )
+                J = propagator_select_dense_df_jit(*padded, t_min=t_min)[:Bb]
+            else:
+                (A_aug, B_aug, Q_aug, R_inv, C), Bb = _pad_batch(
+                    [A_aug, B_aug, Q_aug, R_inv, C]
+                )
+                J = propagator_select_lanes_df_jit(
+                    A_aug, B_aug, Q_aug, R_inv, C, t_min=t_min
+                )
+                J = J[:Bb]
         else:
             J = jax.vmap(_select_impl)(A_aug, B_aug, Q_aug, R_inv, C)
         return J, True
