@@ -27,11 +27,22 @@ import numpy as np
 B = int(os.environ.get("OM_BATCH", "128"))
 SEED = int(os.environ.get("OM_SEED", "0"))
 CASE = os.environ.get("OM_CASE", "Quadrotor")
+# OM_PATH=dense: solve the f32 candidates through the dense-tile + trisym
+# serving kernel (the production path for batches > 512) by padding the
+# B=128 problem set to 1024 — so the north-star oracle comparison covers
+# the trisym numerics directly, not just the lanes path the committed
+# artifacts validate. Writes/reads oracle_f32_dense*.npz.
+PATH = os.environ.get("OM_PATH", "lanes")
 OUT = os.path.join(os.path.dirname(__file__), "..", "results")
 
 
 def _suffix():
     return "" if CASE == "Quadrotor" else f"_{CASE}"
+
+
+def _f32_name(suffix):
+    tag = "_dense" if PATH == "dense" else ""
+    return f"oracle_f32{tag}{suffix}.npz"
 
 
 def make_x0s(base_x0, sigma_x0):
@@ -59,12 +70,37 @@ def run(platform):
 
         dtype_name = "float32"
         method = "propagator"
-        fname = f"oracle_f32{_suffix()}.npz"
+        fname = _f32_name(_suffix())
 
     import jax.numpy as jnp
 
     from timeopt_tpu.models import get_system
     from timeopt_tpu.solver.ilqr import SolveOptions, broadcast_problem, solve_batch
+
+    if platform == "tpu" and PATH == "dense":
+        # route the B=128 set through the dense+trisym serving kernel by
+        # padding to a full 1024-batch inside the select dispatch (the
+        # padded lanes repeat problem 0 and are sliced off)
+        import functools  # noqa: F401
+
+        from timeopt_tpu.ops import pallas_lft
+
+        _dense_jit = pallas_lft.propagator_select_dense_df_fused_jit
+
+        def _dense_adapter(*args, t_min):
+            Bb = args[0].shape[0]
+            pad = (-Bb) % 1024
+            padded = [
+                jnp.concatenate(
+                    [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0
+                )
+                if pad
+                else a
+                for a in args
+            ]
+            return _dense_jit(*padded, t_min=t_min)[:Bb]
+
+        pallas_lft.propagator_select_lanes_df_fused_jit = _dense_adapter
 
     dtype = jnp.dtype(dtype_name)
     system, mk = get_system(CASE)
@@ -93,7 +129,7 @@ def run(platform):
 
 def report():
     a = np.load(os.path.join(OUT, f"oracle_f64{_suffix()}.npz"))
-    b = np.load(os.path.join(OUT, f"oracle_f32{_suffix()}.npz"))
+    b = np.load(os.path.join(OUT, _f32_name(_suffix())))
     T64, J64 = a["T"], a["J"]
     T32, J32 = b["T"], b["J"]
     exact = (T32 == T64).mean()
@@ -167,7 +203,7 @@ def verify_mismatches():
     from timeopt_tpu.solver.linearize import linearize
 
     a = np.load(os.path.join(OUT, f"oracle_f64{_suffix()}.npz"))
-    b = np.load(os.path.join(OUT, f"oracle_f32{_suffix()}.npz"))
+    b = np.load(os.path.join(OUT, _f32_name(_suffix())))
     if "X" not in b.files:
         print("oracle_f32 artifact has no trajectories — re-run `tpu` first")
         return
@@ -228,7 +264,7 @@ def summary():
     for case in cases:
         sfx = "" if case == "Quadrotor" else f"_{case}"
         a = np.load(os.path.join(OUT, f"oracle_f64{sfx}.npz"))
-        b = np.load(os.path.join(OUT, f"oracle_f32{sfx}.npz"))
+        b = np.load(os.path.join(OUT, _f32_name(sfx)))
         T64, T32 = a["T"], b["T"]
         n = len(T64)
         exact = int((T32 == T64).sum())
