@@ -1,13 +1,12 @@
-"""Dense-tile vs lanes-layout fused select kernel: bitwise check + timing.
+"""Generic (k-varying Q_aug) select kernel: dense-tile vs lanes on hardware.
 
-The lanes kernel's (13, 13, 128) slabs pad 13 -> 16 sublanes (+23% vector
-waste, the measured gap to its flop-counted VPU roofline). The dense kernel
-packs the batch into full (8, 128) tiles with matrix indices on untiled
-leading axes — same op sequence, zero padding. This probe verifies the two
-are bit-identical on hardware and times both with in-graph repetition
-(single calls are meaningless under the ~28 ms tunnel dispatch cost).
+Companion to scripts/select_dense_probe.py for the extra_stage_cost path
+(PointMass_Navigation — the one reference system using the hook). Verifies
+on real TPU that the dense kernel with trisym=False is bit-identical to the
+lanes kernel (same op sequence claim), measures the trisym J deviation and
+argmin agreement, and times all three.
 
-Usage: python scripts/select_dense_probe.py   Env: PB (default 1024), REPS.
+Usage: python scripts/generic_dense_probe.py   Env: PB (default 1024), REPS.
 """
 
 import os as _os, sys as _sys
@@ -23,10 +22,10 @@ from jax import lax
 
 from timeopt_tpu.models import get_system
 from timeopt_tpu.ops.pallas_lft import (
-    propagator_select_dense_df_fused,
-    propagator_select_lanes_df_fused,
+    propagator_select_dense_df,
+    propagator_select_lanes_df,
 )
-from timeopt_tpu.solver.augmented import build_fused_inputs
+from timeopt_tpu.solver.augmented import build_augmented, build_terminal_factors
 from timeopt_tpu.solver.cost import rollout
 from timeopt_tpu.solver.ilqr import SolveOptions, broadcast_problem, resolve_q_reg
 from timeopt_tpu.solver.linearize import linearize
@@ -36,8 +35,6 @@ REPS = int(os.environ.get("REPS", "8"))
 
 
 def timed_reps(fn, args, reps):
-    """Time `reps` in-graph invocations (scan, perturbed input) per dispatch."""
-
     def prog(A, rest):
         def body(c, _):
             acc, k = c
@@ -48,7 +45,7 @@ def timed_reps(fn, args, reps):
         return acc
 
     jfn = jax.jit(prog)
-    float(jfn(args[0], args[1:]))  # compile+warm
+    float(jfn(args[0], args[1:]))
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -57,14 +54,14 @@ def timed_reps(fn, args, reps):
     return min(ts)
 
 
-def _setup():
-    """Build the fused-select inputs for B perturbed problems (shared by the
-    main probe and the tile sweep so their timings stay comparable)."""
-    system, mk = get_system(os.environ.get("CASE", "Quadrotor"))
+def main():
+    system, mk = get_system(os.environ.get("CASE", "PointMass_Navigation"))
     base = mk(dtype=jnp.float32)
     rng = np.random.default_rng(0)
     x0s = np.tile(np.asarray(base.x0, np.float32), (B, 1))
-    x0s[:, :3] += 0.4 * rng.standard_normal((B, 3)).astype(np.float32)
+    x0s += np.asarray(system.sigma_x0, np.float32) * rng.standard_normal(
+        x0s.shape
+    ).astype(np.float32)
     probs = broadcast_problem(base, B).replace(x0=jnp.asarray(x0s))
     opts = SolveOptions(method="propagator", max_iter=12, psd_levels=1)
     Tm = base.T_max
@@ -75,34 +72,31 @@ def _setup():
             U = jnp.broadcast_to(p.u_ref[None, :], (base.N, system.m))
             X = rollout(system, p, p.x0, U)
             A, Bm = linearize(system.step, X, U, "ad")
-            return build_fused_inputs(
+            blocks = build_augmented(
                 system, p, X[: Tm + 1], U[:Tm], A[:Tm], Bm[:Tm],
                 q_reg=resolve_q_reg(opts, jnp.float32), rho_reg=opts.rho_reg,
                 psd_levels=1, scale=True,
             )
+            C = build_terminal_factors(p, X[: Tm + 1], rho_reg=opts.rho_reg, s=blocks.s)
+            return blocks.A_aug, blocks.B_aug, blocks.Q_aug, blocks.R_inv, C
         return jax.vmap(one)(probs)
 
-    fi = prep(probs)
-    args = (fi.A, fi.B, fi.vecs, fi.scal, fi.Qq, fi.R_inv, fi.Lt)
-    return args, int(base.T_min)
+    args = prep(probs)
+    t_min = int(base.T_min)
 
-
-def main():
-    args, t_min = _setup()
-
-    lanes = jax.jit(lambda *a: propagator_select_lanes_df_fused(*a, t_min=t_min))
+    lanes = jax.jit(lambda *a: propagator_select_lanes_df(*a, t_min=t_min))
     dense = jax.jit(
-        lambda *a: propagator_select_dense_df_fused(*a, t_min=t_min, trisym=False)
+        lambda *a: propagator_select_dense_df(*a, t_min=t_min, trisym=False)
     )
     tri = jax.jit(
-        lambda *a: propagator_select_dense_df_fused(*a, t_min=t_min, trisym=True)
+        lambda *a: propagator_select_dense_df(*a, t_min=t_min, trisym=True)
     )
 
     Jl = np.asarray(lanes(*args))
     Jd = np.asarray(dense(*args))
     ml, md = np.isfinite(Jl), np.isfinite(Jd)
     bitwise = bool((ml == md).all() and (Jl[ml] == Jd[md]).all())
-    print(f"B={B} N={args[0].shape[1]} t_min={t_min}  bitwise_equal={bitwise}", flush=True)
+    print(f"{system.name} B={B} N={args[0].shape[1]} t_min={t_min}  bitwise_equal={bitwise}", flush=True)
     if not bitwise:
         d = np.abs(np.where(ml & md, Jl - Jd, 0.0))
         print(f"  max abs diff {d.max():.3e}  n_diff {(d > 0).sum()}")
@@ -125,28 +119,5 @@ def main():
         print(f"{name:6s} per-select {per*1e3:8.2f} ms  (1 rep {t1*1e3:7.1f}, {REPS} reps {tR*1e3:7.1f})", flush=True)
 
 
-
-
-def tile_sweep():
-    """TILE_SWEEP=1: time the trisym kernel at alternative dense tiles
-    (wider sublane/lane tiles may hide dependent-op latency)."""
-    args, t_min = _setup()
-    for tile in [(8, 128), (16, 128), (8, 256), (32, 128)]:
-        if B % (tile[0] * tile[1]):
-            continue
-        fn = jax.jit(
-            lambda *a, _t=tile: propagator_select_dense_df_fused(
-                *a, t_min=t_min, tile=_t, trisym=True
-            )
-        )
-        try:
-            t1 = timed_reps(fn, args, 1)
-            tR = timed_reps(fn, args, REPS)
-            per = (tR - t1) / (REPS - 1)
-            print(f"tile={tile}  per-select {per*1e3:8.2f} ms", flush=True)
-        except Exception as e:
-            print(f"tile={tile}  FAILED: {type(e).__name__}: {str(e)[:160]}", flush=True)
-
-
 if __name__ == "__main__":
-    (tile_sweep if os.environ.get("TILE_SWEEP") else main)()
+    main()

@@ -78,29 +78,35 @@ def run(platform):
     from timeopt_tpu.solver.ilqr import SolveOptions, broadcast_problem, solve_batch
 
     if platform == "tpu" and PATH == "dense":
-        # route the B=128 set through the dense+trisym serving kernel by
+        # route the B=128 set through the dense+trisym serving kernels by
         # padding to a full 1024-batch inside the select dispatch (the
-        # padded lanes repeat problem 0 and are sliced off)
-        import functools  # noqa: F401
-
+        # padded lanes repeat problem 0 and are sliced off) — both the
+        # fused kernel and the generic one (extra_stage_cost cases like
+        # PointMass_Navigation route through the latter)
         from timeopt_tpu.ops import pallas_lft
 
-        _dense_jit = pallas_lft.propagator_select_dense_df_fused_jit
+        def _pad_adapter(dense_jit):
+            def adapter(*args, t_min):
+                Bb = args[0].shape[0]
+                pad = (-Bb) % 1024
+                padded = [
+                    jnp.concatenate(
+                        [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0
+                    )
+                    if pad
+                    else a
+                    for a in args
+                ]
+                return dense_jit(*padded, t_min=t_min)[:Bb]
 
-        def _dense_adapter(*args, t_min):
-            Bb = args[0].shape[0]
-            pad = (-Bb) % 1024
-            padded = [
-                jnp.concatenate(
-                    [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0
-                )
-                if pad
-                else a
-                for a in args
-            ]
-            return _dense_jit(*padded, t_min=t_min)[:Bb]
+            return adapter
 
-        pallas_lft.propagator_select_lanes_df_fused_jit = _dense_adapter
+        pallas_lft.propagator_select_lanes_df_fused_jit = _pad_adapter(
+            pallas_lft.propagator_select_dense_df_fused_jit
+        )
+        pallas_lft.propagator_select_lanes_df_jit = _pad_adapter(
+            pallas_lft.propagator_select_dense_df_jit
+        )
 
     dtype = jnp.dtype(dtype_name)
     system, mk = get_system(CASE)

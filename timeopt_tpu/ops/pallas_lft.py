@@ -632,17 +632,9 @@ def _df_select_fused_kernel(
         # mirror the lower triangle so BRB is exactly symmetric (the f32
         # row-sum products round asymmetrically); pure wiring — the old
         # path's G sym_half absorbed this
-        brb_n = jnp.stack(
-            [
-                jnp.concatenate(
-                    [brb_n[i, : i + 1]]
-                    + [brb_n[j, i : i + 1] for j in range(i + 1, n)],
-                    axis=0,
-                )
-                for i in range(n)
-            ],
-            axis=0,
-        )
+        from timeopt_tpu.ops.lft_df import _mirror_lower
+
+        brb_n = _mirror_lower(brb_n)
     zcol = jnp.zeros((n, 1) + bshape, dtype)
     zrow = jnp.zeros((1, n + 1) + bshape, dtype)
     BRB = jnp.concatenate([jnp.concatenate([brb_n, zcol], axis=1), zrow], axis=0)
