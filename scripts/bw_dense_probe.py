@@ -81,7 +81,8 @@ def main():
     args = prep(probs, Ts, lm)
 
     lanes = jax.jit(lambda *a: backward_lanes_df(*a))
-    dense = jax.jit(lambda *a: backward_dense_df(*a))
+    dense = jax.jit(lambda *a: backward_dense_df(*a, trisym=False))
+    tri = jax.jit(lambda *a: backward_dense_df(*a, trisym=True))
 
     kl, Kl, okl = (np.asarray(x) for x in lanes(*args))
     kd, Kd, okd = (np.asarray(x) for x in dense(*args))
@@ -90,7 +91,14 @@ def main():
     if not bitwise:
         print(f"  max |dkap| {np.abs(kl-kd).max():.3e}  max |dK| {np.abs(Kl-Kd).max():.3e}  ok diff {(okl!=okd).sum()}")
 
-    for name, fn in [("lanes", lanes), ("dense", dense)]:
+    kt, Kt, okt = (np.asarray(x) for x in tri(*args))
+    relK = np.abs(Kt - Kd) / (np.abs(Kd) + 1e-30)
+    print(
+        f"trisym vs dense: max |dkap| {np.abs(kt-kd).max():.3e}  K rel max "
+        f"{relK.max():.2e}  ok agree {(okt == okd).sum()}/{B}", flush=True
+    )
+
+    for name, fn in [("lanes", lanes), ("dense", dense), ("trisym", tri)]:
         t1 = timed_reps(fn, args, 1)
         tR = timed_reps(fn, args, REPS)
         per = (tR - t1) / (REPS - 1)

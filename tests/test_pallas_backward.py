@@ -102,7 +102,10 @@ def test_backward_dense_matches_lanes(rng):
 
     args = tuple(jnp.stack(xs, 0) for xs in cols)
     kap_l, K_l, ok_l = backward_lanes_df(*args, block_b=Bb, interpret=True)
-    kap_d, K_d, ok_d = backward_dense_df(*args, tile=(2, 4), interpret=True)
-    np.testing.assert_array_equal(np.asarray(ok_d), np.asarray(ok_l))
-    np.testing.assert_allclose(np.asarray(kap_d), np.asarray(kap_l), rtol=1e-3, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(K_d), np.asarray(K_l), rtol=1e-3, atol=1e-4)
+    for tri in (False, True):
+        kap_d, K_d, ok_d = backward_dense_df(
+            *args, tile=(2, 4), trisym=tri, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(ok_d), np.asarray(ok_l))
+        np.testing.assert_allclose(np.asarray(kap_d), np.asarray(kap_l), rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(K_d), np.asarray(K_l), rtol=1e-3, atol=1e-4)

@@ -39,7 +39,7 @@ def _backward_kernel(
     qf_ref, r_ref, ts_ref, lm_ref,
     kap_ref, kk_ref, ok_ref,
     vxh, vxl, vxxh, vxxl, okc,
-    *, N,
+    *, N, trisym=False,
 ):
     k = pl.program_id(1)
     t = (N - 1) - k
@@ -85,29 +85,44 @@ def _backward_kernel(
         _backward_step_body(
             t, A, Bm, lx, lu, Qs, QfeT, eT_ok, s_ok, Qf, R, T_star, lm,
             ok_prev, eye_m, kap_ref, kk_ref, ok_ref, vxh, vxl, vxxh, vxxl, okc,
+            trisym=trisym,
         )
 
 
 def _backward_step_body(
     t, A, Bm, lx, lu, Qs, QfeT, eT_ok, s_ok, Qf, R, T_star, lm,
     ok_prev, eye_m, kap_ref, kk_ref, ok_ref, vxh, vxl, vxxh, vxxl, okc,
+    trisym=False,
 ):
     is_term = ((t + 1) == T_star)[None, None, :]  # (1,1,bt)
     Vx = _wsel(is_term, dfm.df_mat(QfeT), (vxh[:][:, None, :], vxl[:][:, None, :]))
     Vxx = _wsel(is_term, dfm.df_mat(Qf), (vxxh[:], vxxl[:]))
     ok_prev = ok_prev * jnp.where(is_term[0, 0], eT_ok, 1.0)
 
+    # trisym (dense-tile layout only, see ops/df32.py): the symmetric
+    # congruences A'(Vxx A), B'(Vxx B), K'(Quu K) compute lower triangles
+    # and mirror — valid because the Vxx carry is exactly symmetric by
+    # induction (Qf/Qs are host-symmetrized; trisym/sym_half outputs are
+    # exactly symmetric; df adds of symmetric operands stay symmetric).
     Adf = dfm.df_mat(A)
     Bdf = dfm.df_mat(Bm)
     Qx = dfm.df_add(dfm.df_mat(lx), dfm.df_matmul_tn(Adf, Vx))
     Qu = dfm.df_add(dfm.df_mat(lu), dfm.df_matmul_tn(Bdf, Vx))
     VA = dfm.df_matmul(Vxx, Adf)
-    Qxx = dfm.df_add(dfm.df_mat(Qs), dfm.df_matmul_tn(Adf, VA))
     VB = dfm.df_matmul(Vxx, Bdf)
-    Quu = dfm.df_add(dfm.df_mat(R), dfm.df_matmul_tn(Bdf, VB))
+    if trisym:
+        Qxx = dfm.df_add(dfm.df_mat(Qs), dfm.df_matmul_tn_trisym(Adf, VA))
+        Quu = dfm.df_add(dfm.df_mat(R), dfm.df_matmul_tn_trisym(Bdf, VB))
+    else:
+        Qxx = dfm.df_add(dfm.df_mat(Qs), dfm.df_matmul_tn(Adf, VA))
+        Quu = dfm.df_add(dfm.df_mat(R), dfm.df_matmul_tn(Bdf, VB))
     Qux = dfm.df_matmul_tn(Bdf, VA)  # (m, n)
 
-    Quu_reg = dfm.df_add(dfm.df_sym_half(Quu), dfm.df_mat(lm[None, None, :] * eye_m))
+    if trisym:
+        # Quu is exactly symmetric already — no sym_half pass needed
+        Quu_reg = dfm.df_add(Quu, dfm.df_mat(lm[None, None, :] * eye_m))
+    else:
+        Quu_reg = dfm.df_add(dfm.df_sym_half(Quu), dfm.df_mat(lm[None, None, :] * eye_m))
     iQ, piv = dfm.df_gj_inv_pivots(Quu_reg, 0.0, eye_m)
     pd = jnp.all((piv > 0) & jnp.isfinite(piv), axis=0)  # (bt,)
 
@@ -121,10 +136,19 @@ def _backward_step_body(
     Vx_new = dfm.df_add(dfm.df_add(Qx, KtQu), dfm.df_add(Quxt_kap, KtQuuk))
 
     KtQux = dfm.df_matmul_tn(K, Qux)  # (n, n)
-    KtQuuK = dfm.df_matmul_tn(K, dfm.df_matmul(Quu, K))
-    Vxx_new = dfm.df_sym_half(
-        dfm.df_add(dfm.df_add(Qxx, KtQux), dfm.df_add(_t(KtQux), KtQuuK))
-    )
+    if trisym:
+        KtQuuK = dfm.df_matmul_tn_trisym(K, dfm.df_matmul(Quu, K))
+        # Qxx, KtQuuK exactly symmetric; KtQux + KtQux' exactly symmetric
+        # (df_add is bitwise-commutative) — and summing THAT pair first
+        # keeps every addend of the outer adds entrywise-symmetric, so
+        # Vxx_new is exactly symmetric with no sym_half pass
+        M = dfm.df_add(KtQux, _t(KtQux))
+        Vxx_new = dfm.df_add(dfm.df_add(Qxx, M), KtQuuK)
+    else:
+        KtQuuK = dfm.df_matmul_tn(K, dfm.df_matmul(Quu, K))
+        Vxx_new = dfm.df_sym_half(
+            dfm.df_add(dfm.df_add(Qxx, KtQux), dfm.df_add(_t(KtQux), KtQuuK))
+        )
 
     active = (t < T_star)[None, None, :]  # (1,1,bt)
     fin = (
@@ -232,6 +256,7 @@ def backward_dense_df(
     A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star, lm,
     *,
     tile: tuple = (8, 128),
+    trisym: bool = False,
     interpret: bool = False,
 ):
     """Batched truncated backward pass, dense-tile batch layout.
@@ -242,12 +267,15 @@ def backward_dense_df(
     sublane padding, broadcast-free matrix-axis reuse, bit-identical
     output). The kernel body is the shared rank-agnostic _backward_kernel.
 
-    NOT routed in production: measured 5.40 vs the lanes kernel's 5.07
-    ms/iter (B=1024 quadrotor, scripts/bw_dense_probe.py) — the backward
-    step is latency-bound in its sequential m-dim factorization chains,
-    so the +23-25% vector density that wins 21% for select buys nothing
-    here. Kept as the measured negative result + a second exerciser of
-    the rank-agnostic kernel body.
+    Measured (B=1024 quadrotor, scripts/bw_dense_probe.py): with
+    trisym=False the relayout alone is bit-identical but SLOWER than the
+    lanes kernel (5.4-5.6 vs 5.1-5.4 ms — the step is latency-bound in
+    its m-dim factorization chains, so vector density alone buys
+    nothing); with trisym=True (triangle-only A'VA / B'VB / K'QuuK,
+    dropped sym_half passes) it wins at 4.76 ms with outputs bitwise
+    equal to the plain dense run (df-lo differences stay below f32 output
+    resolution). Production routes B > 512 here with trisym=True
+    (solver/backward.py).
     """
     st, sl = tile
     tb = st * sl
@@ -289,7 +317,7 @@ def backward_dense_df(
     out_K = pl.BlockSpec((1, m, n, st, sl), rev5, memory_space=pltpu.VMEM)
     out_ok = pl.BlockSpec((1, 1, st, sl), rev4, memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_backward_kernel, N=N)
+    kernel = functools.partial(_backward_kernel, N=N, trisym=trisym)
     kappa, K, ok = pl.pallas_call(
         kernel,
         grid=grid,
@@ -329,5 +357,5 @@ backward_lanes_df_jit = jax.jit(
     backward_lanes_df, static_argnames=("block_b", "interpret")
 )
 backward_dense_df_jit = jax.jit(
-    backward_dense_df, static_argnames=("tile", "interpret")
+    backward_dense_df, static_argnames=("tile", "trisym", "interpret")
 )

@@ -147,19 +147,33 @@ def _backward_vmap_rule(axis_size, in_batched, A, B, lx, lu, Qstage, QfeT, eT_ok
     ]
     A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star, lm = args
     if _pallas_applicable(A):
-        # Lanes layout on purpose: the dense-tile variant
-        # (ops/pallas_backward.backward_dense_df) is bit-identical but
-        # measured SLOWER here (5.40 vs 5.07 ms/iter at B=1024 quadrotor,
-        # scripts/bw_dense_probe.py) — unlike select, the backward step is
-        # latency-bound in its small sequential m-dim factorization chains,
-        # not sublane-padding-bound, so denser vregs buy nothing.
-        from timeopt_tpu.ops.pallas_backward import backward_lanes_df_jit
+        # Routing (scripts/bw_dense_probe.py, B=1024 quadrotor): the plain
+        # dense-tile relayout alone is bit-identical but SLOWER than lanes
+        # (5.4-5.6 vs 5.1-5.4 ms — the step is latency-bound in its m-dim
+        # factorization chains, not padding-bound), but dense + trisym
+        # (triangle-only symmetric congruences) wins at 4.76 ms, with
+        # outputs measured bitwise-equal to the plain dense run (the df-lo
+        # rounding differences stay below f32 output resolution). So:
+        # B > 512 pads to 1024 and runs dense+trisym (same rule as the
+        # select kernels); smaller batches keep the lanes layout.
+        from timeopt_tpu.ops.pallas_backward import (
+            backward_dense_df_jit,
+            backward_lanes_df_jit,
+        )
         from timeopt_tpu.solver.horizon import _pad_batch
 
-        padded, Bb = _pad_batch(
-            [A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star, lm]
-        )
-        kappa, K, ok = backward_lanes_df_jit(*padded)
+        args = [A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star, lm]
+        # n >= 3 gate: at n=2 (DoubleIntegrator) the dense backward's tiny
+        # (2,2)-slab bodies are pure latency and lose end-to-end (measured
+        # 129.4k -> 108.9k solves/s at B=1024); every n >= 4 case wins
+        # (+24-35%). Select has no such floor — its p=n+1 bodies are
+        # larger and it stays dense for all cases.
+        if A.shape[0] > 512 and A.shape[-1] >= 3:
+            padded, Bb = _pad_batch(args, multiple=1024)
+            kappa, K, ok = backward_dense_df_jit(*padded, trisym=True)
+        else:
+            padded, Bb = _pad_batch(args)
+            kappa, K, ok = backward_lanes_df_jit(*padded)
         kappa, K, ok = kappa[:Bb], K[:Bb], ok[:Bb]
     else:
         kappa, K, ok = jax.vmap(_backward_arrays)(
