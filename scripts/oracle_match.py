@@ -108,6 +108,31 @@ def run(platform):
             pallas_lft.propagator_select_dense_df_jit
         )
 
+        # backward: mirror the production routing (dense+trisym for n >= 3;
+        # n = 2 keeps lanes — solver/backward.py gate)
+        from timeopt_tpu.ops import pallas_backward
+
+        _bw_lanes = pallas_backward.backward_lanes_df_jit
+        _bw_dense = pallas_backward.backward_dense_df_jit
+
+        def _bw_adapter(*args):
+            if args[0].shape[-1] < 3:
+                return _bw_lanes(*args)
+            Bb = args[0].shape[0]
+            pad = (-Bb) % 1024
+            padded = [
+                jnp.concatenate(
+                    [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0
+                )
+                if pad
+                else a
+                for a in args
+            ]
+            kappa, K, ok = _bw_dense(*padded, trisym=True)
+            return kappa[:Bb], K[:Bb], ok[:Bb]
+
+        pallas_backward.backward_lanes_df_jit = _bw_adapter
+
     dtype = jnp.dtype(dtype_name)
     system, mk = get_system(CASE)
     base = mk(dtype=dtype)
