@@ -177,3 +177,29 @@ def test_forward_kernel_rejects_poisoned_rollout(rng):
     assert not np.asarray(acc).any()
     np.testing.assert_array_equal(np.asarray(Jn), np.asarray(J_old))
     np.testing.assert_array_equal(np.asarray(Xn), np.asarray(X))
+
+
+def test_forward_dense_matches_lanes(rng):
+    """Dense-tile forward kernel vs the lanes kernel: shared rank-agnostic
+    body, identical op sequence (bitwise on TPU hardware,
+    scripts/fwd_dense_probe.py); loose tolerance here because compiled-CPU
+    interpret mode degrades the df32 tricks shape-dependently."""
+    from timeopt_tpu.ops.pallas_forward import linesearch_dense_df
+
+    system, probs, (X, U, K, kap, T, J_old) = _setup(rng, 51, case="Quadrotor")
+    args = (
+        X, U, K, kap, T, J_old,
+        probs.xg, probs.u_ref, probs.Q, probs.R, probs.Qf, probs.w, probs.wrap_mask,
+    )
+    Xl, Ul, Jl, al = jax.jit(
+        lambda *a: linesearch_lanes_df(system, ALPHAS, *a, block_b=8, interpret=True)
+    )(*args)
+    Xd, Ud, Jd, ad = jax.jit(
+        lambda *a: linesearch_dense_df(system, ALPHAS, *a, tile=(2, 4), interpret=True)
+    )(*args)
+    np.testing.assert_array_equal(np.asarray(ad), np.asarray(al))
+    np.testing.assert_allclose(np.asarray(Jd), np.asarray(Jl), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(Xd)[:, :52], np.asarray(Xl)[:, :52], rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(np.asarray(Ud), np.asarray(Ul), rtol=2e-3, atol=2e-3)

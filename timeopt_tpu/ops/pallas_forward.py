@@ -91,47 +91,48 @@ def _fwd_kernel(
     T_i = ts_ref[0].astype(jnp.int32)  # (B,) — T* exact in f32 for T <= 2^24
     wm = wm_ref[...]  # (n, B) 0/1 error-wrap mask
 
-    n, B = Xk.shape
+    n = Xk.shape[0]
+    bshape = Xk.shape[1:]  # (B,) lanes layout, (st, sl) dense-tile layout
     m = Uk.shape[0]
     A = len(a_vec)
     dtype = Xk.dtype
     a_col = av_ref[...]  # (A, B) — alphas broadcast over lanes
-    wm3 = wm[:, None, :]  # (n, 1, B)
-    xg3 = xg[:, None, :]  # (n, 1, B)
+    wm3 = wm[:, None]  # (n, 1, B)
+    xg3 = xg[:, None]  # (n, 1, B)
 
     @pl.when(k == 0)
     def _():
-        xh_s[...] = jnp.broadcast_to(Xk[:, None, :], (n, A, B))
-        xl_s[...] = jnp.zeros((n, A, B), dtype)
-        rh_s[...] = jnp.zeros((A, B), dtype)
-        rl_s[...] = jnp.zeros((A, B), dtype)
-        jt_s[...] = jnp.zeros((A, B), dtype)
+        xh_s[...] = jnp.broadcast_to(Xk[:, None], (n, A) + bshape)
+        xl_s[...] = jnp.zeros((n, A) + bshape, dtype)
+        rh_s[...] = jnp.zeros((A,) + bshape, dtype)
+        rl_s[...] = jnp.zeros((A,) + bshape, dtype)
+        jt_s[...] = jnp.zeros((A,) + bshape, dtype)
         x0fin = jnp.broadcast_to(
-            jnp.all(jnp.isfinite(Xk), axis=0)[None, :], (A, B)
+            jnp.all(jnp.isfinite(Xk), axis=0)[None], (A,) + bshape
         ).astype(dtype)
         fa_s[...] = x0fin  # whole-trajectory finiteness (incl. X[0])
         ft_s[...] = x0fin  # finiteness over rows k <= T*
-        fu_s[...] = jnp.ones((A, B), dtype)
+        fu_s[...] = jnp.ones((A,) + bshape, dtype)
 
     xh = xh_s[...]  # (n, A, B)
     xl = xl_s[...]
-    active = (k < T_i)[None, :]  # (1, B) -> broadcasts over A
+    active = (k < T_i)[None]  # (1, B) -> broadcasts over A
 
     # ---- closed-loop control: u = U_k + [k < T*](K wrap(x - x̄) + alpha kap)
-    dh, dl = _df_wrap_rows(xh - Xk[:, None, :], xl, wm3)
+    dh, dl = _df_wrap_rows(xh - Xk[:, None], xl, wm3)
     dx = dh + dl
     du = None
     for j in range(n):
-        t = Kk[:, j, :][:, None, :] * dx[j][None, :, :]
+        t = Kk[:, j][:, None] * dx[j][None]
         du = t if du is None else du + t
-    du = du + a_col[None, :, :] * kapk[:, None, :]  # (m, A, B)
-    u = Uk[:, None, :] + jnp.where(active[None], du, jnp.zeros_like(du))
+    du = du + a_col[None] * kapk[:, None]  # (m, A, B)
+    u = Uk[:, None] + jnp.where(active[None], du, jnp.zeros_like(du))
 
     # ---- stage cost on the CURRENT state (cost_true: l_k for k < T*)
     e = xh - xg3
     e = jnp.where(wm3 > 0.5, angle_normalize(e), e)
-    du_r = u - urf[:, None, :]
-    l = _quad(Q, e) + _quad(R, du_r) + w[None, :]
+    du_r = u - urf[:, None]
+    l = _quad(Q, e) + _quad(R, du_r) + w[None]
     l = jnp.where(active, l, jnp.zeros_like(l))
     rh, rl = df_add((rh_s[...], rl_s[...]), (l, jnp.zeros_like(l)))
     rh_s[...] = rh
@@ -147,7 +148,7 @@ def _fwd_kernel(
     if system.wrap_idx:
         # static in-state wrap set, built from an in-kernel iota (Pallas
         # rejects captured constant arrays)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n,) + (1,) * (len(bshape) + 1), 0)
         swm = None
         for i in system.wrap_idx:
             t = rows == int(i)
@@ -162,13 +163,13 @@ def _fwd_kernel(
         nl = nl + poison
 
     # ---- terminal injection where k+1 == T* (each lane exactly once)
-    is_term = ((k + 1) == T_i)[None, :]  # (1, B)
+    is_term = ((k + 1) == T_i)[None]  # (1, B)
 
     @pl.when(jnp.any(is_term))
     def _():
         eT = nh - xg3
         eT = jnp.where(wm3 > 0.5, angle_normalize(eT), eT)
-        th_, tl_ = df_add((rh, rl), (_quad(Qf, eT), jnp.zeros((A, B), dtype)))
+        th_, tl_ = df_add((rh, rl), (_quad(Qf, eT), jnp.zeros((A,) + bshape, dtype)))
         jt_s[...] = jnp.where(is_term, th_ + tl_, jt_s[...])
 
     # ---- finiteness flags (cost_true x_ok/u_ok + the reference's
@@ -176,7 +177,7 @@ def _fwd_kernel(
     nfin = jnp.all(jnp.isfinite(nh), axis=0).astype(dtype)  # (A, B)
     one = jnp.ones_like(nfin)
     fa_s[...] = fa_s[...] * nfin
-    ft_s[...] = ft_s[...] * jnp.where((k + 1 <= T_i)[None, :], nfin, one)
+    ft_s[...] = ft_s[...] * jnp.where((k + 1 <= T_i)[None], nfin, one)
     ufin = jnp.all(jnp.isfinite(u), axis=0).astype(dtype)
     fu_s[...] = fu_s[...] * jnp.where(active, ufin, one)
 
@@ -191,7 +192,7 @@ def _fwd_kernel(
         ok = (
             (ft_s[...] > 0.5)
             & (fu_s[...] > 0.5)
-            & (T_i > 0)[None, :]
+            & (T_i > 0)[None]
             & jnp.isfinite(tot)
             & (fa_s[...] > 0.5)
         )
@@ -319,8 +320,132 @@ def linesearch_lanes_df(
     return Xn, Un, Jn, accepted
 
 
+def linesearch_dense_df(
+    system: System,
+    a_vec,
+    X, U, K, kappa, T_star, J_old,
+    xg, u_ref, Qm, Rm, Qf, w, wrap_mask,
+    *,
+    tile: tuple = (8, 128),
+    interpret: bool = False,
+):
+    """Dense-tile variant of linesearch_lanes_df: the batch fills full
+    (sublane, lane) tiles — B % (tile[0]*tile[1]) == 0 — with the state
+    row and alpha axes on untiled leading dims (see ops/pallas_lft.py
+    kernel 5). The lanes layout puts the A=5 alpha axis on sublanes,
+    padding 5 -> 8 (+60% on every (·, A, B) op); here every vreg is
+    dense. Shared rank-agnostic kernel body -> bit-identical outputs
+    (hardware check in scripts/fwd_dense_probe.py)."""
+    st, sl = tile
+    tb = st * sl
+    B, Np1, n = X.shape
+    N = Np1 - 1
+    m = U.shape[-1]
+    A = len(a_vec)
+    dtype = X.dtype
+    assert B % tb == 0, (B, tile)
+
+    rt = lambda x: x.reshape(x.shape[:-1] + (B // sl, sl))  # noqa: E731
+    Xt = jnp.transpose(X[:, :-1], (1, 2, 0))  # (N, n, B)
+    Ut = jnp.transpose(U, (1, 2, 0))  # (N, m, B)
+    Kt = jnp.transpose(K, (1, 2, 3, 0))  # (N, m, n, B)
+    kapt = jnp.transpose(kappa, (1, 2, 0))  # (N, m, B)
+    xgt = jnp.transpose(xg, (1, 0))
+    urt = jnp.transpose(u_ref, (1, 0))
+    Qt = jnp.transpose(Qm, (1, 2, 0))
+    Rt = jnp.transpose(Rm, (1, 2, 0))
+    Qft = jnp.transpose(Qf, (1, 2, 0))
+    wt = w[None, :]
+    Tt = T_star.astype(dtype)[None, :]
+    wmt = jnp.transpose(wrap_mask, (1, 0)).astype(dtype)
+    avt = jnp.broadcast_to(
+        jnp.asarray(np.asarray(a_vec, np.float32), dtype)[:, None], (A, B)
+    )
+
+    grid = (B // tb, N)
+    step5 = lambda d1, d2: pl.BlockSpec(  # noqa: E731
+        (1, d1, d2, st, sl), lambda i, k: (k, 0, 0, i, 0), memory_space=pltpu.VMEM
+    )
+    step4 = lambda d1: pl.BlockSpec(  # noqa: E731
+        (1, d1, st, sl), lambda i, k: (k, 0, i, 0), memory_space=pltpu.VMEM
+    )
+    cst3 = lambda d1: pl.BlockSpec(  # noqa: E731
+        (d1, st, sl), lambda i, k: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    cst4 = lambda d1, d2: pl.BlockSpec(  # noqa: E731
+        (d1, d2, st, sl), lambda i, k: (0, 0, i, 0), memory_space=pltpu.VMEM
+    )
+
+    kernel = functools.partial(_fwd_kernel, system=system, a_vec=tuple(a_vec), N=N)
+    xs, us, Js = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            step4(n), step4(m), step5(m, n), step4(m),
+            cst3(n), cst3(m), cst4(n, n), cst4(m, m), cst4(n, n),
+            cst3(1), cst3(1), cst3(n), cst3(A),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, n, A, st, sl), lambda i, k: (k, 0, 0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, m, A, st, sl), lambda i, k: (k, 0, 0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (A, st, sl), lambda i, k: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, n, A, B // sl, sl), dtype),
+            jax.ShapeDtypeStruct((N, m, A, B // sl, sl), dtype),
+            jax.ShapeDtypeStruct((A, B // sl, sl), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, A, st, sl), dtype),
+            pltpu.VMEM((n, A, st, sl), dtype),
+        ] + [pltpu.VMEM((A, st, sl), dtype) for _ in range(6)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        rt(Xt), rt(Ut), rt(Kt), rt(kapt), rt(xgt), rt(urt), rt(Qt), rt(Rt),
+        rt(Qft), rt(wt), rt(Tt), rt(wmt), rt(avt),
+    )
+    xs = xs.reshape(N, n, A, B)
+    us = us.reshape(N, m, A, B)
+    Js = Js.reshape(A, B)
+
+    # ---- first-improving-alpha selection (forward.forward_linesearch)
+    improved = Js < J_old[None, :]
+    accepted = jnp.any(improved, axis=0)  # (B,)
+    idx = jnp.argmax(improved, axis=0)  # (B,)
+
+    def sel(S):
+        # A-1 unrolled `where`s — see linesearch_lanes_df.sel
+        acc = S[:, :, 0, :]
+        for a in range(1, S.shape[2]):
+            acc = jnp.where(idx[None, None, :] == a, S[:, :, a, :], acc)
+        return acc
+
+    Xsel = jnp.concatenate([Xt[:1], sel(xs)], axis=0)  # (N+1, n, B)
+    Usel = sel(us)  # (N, m, B)
+
+    acc3 = accepted[None, None, :]
+    Xfull = jnp.transpose(X, (1, 2, 0))  # (N+1, n, B)
+    Xn = jnp.transpose(jnp.where(acc3, Xsel, Xfull), (2, 0, 1))
+    Un = jnp.transpose(jnp.where(acc3, Usel, Ut), (2, 0, 1))
+    Jn = jnp.where(accepted, jnp.take_along_axis(Js, idx[None, :], axis=0)[0], J_old)
+    return Xn, Un, Jn, accepted
+
+
 # Shared jit (see ops/pallas_lft.py note): system and a_vec are static.
 linesearch_lanes_df_jit = jax.jit(
     linesearch_lanes_df, static_argnums=(0, 1),
     static_argnames=("block_b", "interpret"),
+)
+linesearch_dense_df_jit = jax.jit(
+    linesearch_dense_df, static_argnums=(0, 1),
+    static_argnames=("tile", "interpret"),
 )

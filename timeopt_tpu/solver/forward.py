@@ -138,11 +138,21 @@ def _linesearch_core(system: System, alphas: tuple):
         ]
         X = args[0]
         if _kernel_applicable(system, X.dtype, True):
-            from timeopt_tpu.ops.pallas_forward import linesearch_lanes_df_jit
+            from timeopt_tpu.ops.pallas_forward import (
+                linesearch_dense_df_jit,
+                linesearch_lanes_df_jit,
+            )
             from timeopt_tpu.solver.horizon import _pad_batch
 
-            padded, Bb = _pad_batch(list(args))
-            Xn, Un, Jn, acc = linesearch_lanes_df_jit(system, alphas, *padded)
+            # same dense-vs-lanes routing rule as select/backward: B > 512
+            # pads to 1024 and runs the dense-tile kernel (the lanes layout
+            # pads the A=5 alpha axis to 8 sublanes, +60% on those ops)
+            if X.shape[0] > 512:
+                padded, Bb = _pad_batch(list(args), multiple=1024)
+                Xn, Un, Jn, acc = linesearch_dense_df_jit(system, alphas, *padded)
+            else:
+                padded, Bb = _pad_batch(list(args))
+                Xn, Un, Jn, acc = linesearch_lanes_df_jit(system, alphas, *padded)
             out = (Xn[:Bb], Un[:Bb], Jn[:Bb], acc[:Bb])
         else:
             out = jax.vmap(_unbatched)(*args)
