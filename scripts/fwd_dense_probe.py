@@ -6,7 +6,9 @@ ops); the dense layout packs the batch into full (8, 128) tiles with the
 state-row and alpha axes untiled. Shared rank-agnostic kernel body — the
 outputs must be bit-identical.
 
-Usage: python scripts/fwd_dense_probe.py   Env: PB (default 1024), REPS.
+Usage: python scripts/fwd_dense_probe.py
+Env: PB (default 1024; must be a multiple of 1024 — the dense kernel's
+tile constraint), REPS, CASE.
 """
 
 import os as _os, sys as _sys
@@ -24,7 +26,7 @@ from timeopt_tpu.models import get_system
 from timeopt_tpu.ops.pallas_forward import linesearch_dense_df, linesearch_lanes_df
 from timeopt_tpu.solver.backward import backward_truncated
 from timeopt_tpu.solver.cost import cost_true, rollout
-from timeopt_tpu.solver.ilqr import SolveOptions, broadcast_problem
+from timeopt_tpu.solver.ilqr import broadcast_problem
 from timeopt_tpu.solver.linearize import linearize
 
 B = int(os.environ.get("PB", "1024"))

@@ -84,19 +84,11 @@ def run(platform):
         # fused kernel and the generic one (extra_stage_cost cases like
         # PointMass_Navigation route through the latter)
         from timeopt_tpu.ops import pallas_lft
+        from timeopt_tpu.solver.horizon import _pad_batch
 
         def _pad_adapter(dense_jit):
             def adapter(*args, t_min):
-                Bb = args[0].shape[0]
-                pad = (-Bb) % 1024
-                padded = [
-                    jnp.concatenate(
-                        [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0
-                    )
-                    if pad
-                    else a
-                    for a in args
-                ]
+                padded, Bb = _pad_batch(list(args), multiple=1024)
                 return dense_jit(*padded, t_min=t_min)[:Bb]
 
             return adapter
@@ -118,16 +110,7 @@ def run(platform):
         def _bw_adapter(*args):
             if args[0].shape[-1] < 3:
                 return _bw_lanes(*args)
-            Bb = args[0].shape[0]
-            pad = (-Bb) % 1024
-            padded = [
-                jnp.concatenate(
-                    [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0
-                )
-                if pad
-                else a
-                for a in args
-            ]
+            padded, Bb = _pad_batch(list(args), multiple=1024)
             kappa, K, ok = _bw_dense(*padded, trisym=True)
             return kappa[:Bb], K[:Bb], ok[:Bb]
 

@@ -102,8 +102,9 @@ def _backward_step_body(
     # trisym (dense-tile layout only, see ops/df32.py): the symmetric
     # congruences A'(Vxx A), B'(Vxx B), K'(Quu K) compute lower triangles
     # and mirror — valid because the Vxx carry is exactly symmetric by
-    # induction (Qf/Qs are host-symmetrized; trisym/sym_half outputs are
-    # exactly symmetric; df adds of symmetric operands stay symmetric).
+    # induction (backward_truncated symmetrizes Qstage/R/Qf before
+    # streaming them; trisym/sym_half outputs are exactly symmetric; df
+    # adds of symmetric operands stay symmetric).
     Adf = dfm.df_mat(A)
     Bdf = dfm.df_mat(Bm)
     Qx = dfm.df_add(dfm.df_mat(lx), dfm.df_matmul_tn(Adf, Vx))

@@ -199,6 +199,58 @@ def _fwd_kernel(
         j_ref[...] = jnp.where(ok, tot, jnp.asarray(jnp.inf, dtype))
 
 
+def _prep_trailing(a_vec, X, U, K, kappa, T_star, xg, u_ref, Qm, Rm, Qf, w, wrap_mask):
+    """Batch-leading -> batch-trailing inputs shared by both kernel layouts."""
+    A = len(a_vec)
+    B = X.shape[0]
+    dtype = X.dtype
+    Xt = jnp.transpose(X[:, :-1], (1, 2, 0))  # (N, n, B)
+    Ut = jnp.transpose(U, (1, 2, 0))  # (N, m, B)
+    Kt = jnp.transpose(K, (1, 2, 3, 0))  # (N, m, n, B)
+    kapt = jnp.transpose(kappa, (1, 2, 0))  # (N, m, B)
+    xgt = jnp.transpose(xg, (1, 0))
+    urt = jnp.transpose(u_ref, (1, 0))
+    Qt = jnp.transpose(Qm, (1, 2, 0))
+    Rt = jnp.transpose(Rm, (1, 2, 0))
+    Qft = jnp.transpose(Qf, (1, 2, 0))
+    wt = w[None, :]
+    Tt = T_star.astype(dtype)[None, :]
+    wmt = jnp.transpose(wrap_mask, (1, 0)).astype(dtype)
+    avt = jnp.broadcast_to(
+        jnp.asarray(np.asarray(a_vec, np.float32), dtype)[:, None], (A, B)
+    )
+    return (Xt, Ut, Kt, kapt, xgt, urt, Qt, Rt, Qft, wt, Tt, wmt, avt)
+
+
+def _select_first_improving(X, Xt, Ut, xs, us, Js, J_old):
+    """First-improving-alpha selection (forward.forward_linesearch
+    semantics), shared by both kernel layouts. Batch-trailing in/out of
+    the alpha pick; returns batch-leading (Xn, Un, Jn, accepted)."""
+    improved = Js < J_old[None, :]
+    accepted = jnp.any(improved, axis=0)  # (B,)
+    idx = jnp.argmax(improved, axis=0)  # (B,)
+
+    def sel(S):
+        # per-lane alpha pick as A-1 unrolled `where`s: a take_along_axis
+        # gather here measured ~20 ms at B=1024 (TPU gathers are slow);
+        # `where` keeps it lane-dense and NaN-safe (rejected alphas may
+        # carry poisoned trajectories — a one-hot multiply would leak NaN)
+        acc = S[:, :, 0, :]
+        for a in range(1, S.shape[2]):
+            acc = jnp.where(idx[None, None, :] == a, S[:, :, a, :], acc)
+        return acc
+
+    Xsel = jnp.concatenate([Xt[:1], sel(xs)], axis=0)  # (N+1, n, B)
+    Usel = sel(us)  # (N, m, B)
+
+    acc3 = accepted[None, None, :]
+    Xfull = jnp.transpose(X, (1, 2, 0))  # (N+1, n, B)
+    Xn = jnp.transpose(jnp.where(acc3, Xsel, Xfull), (2, 0, 1))
+    Un = jnp.transpose(jnp.where(acc3, Usel, Ut), (2, 0, 1))
+    Jn = jnp.where(accepted, jnp.take_along_axis(Js, idx[None, :], axis=0)[0], J_old)
+    return Xn, Un, Jn, accepted
+
+
 def linesearch_lanes_df(
     system: System,
     a_vec,
@@ -234,20 +286,8 @@ def linesearch_lanes_df(
     dtype = X.dtype
     bt = math.gcd(B, block_b)
 
-    Xt = jnp.transpose(X[:, :-1], (1, 2, 0))  # (N, n, B)
-    Ut = jnp.transpose(U, (1, 2, 0))  # (N, m, B)
-    Kt = jnp.transpose(K, (1, 2, 3, 0))  # (N, m, n, B)
-    kapt = jnp.transpose(kappa, (1, 2, 0))  # (N, m, B)
-    xgt = jnp.transpose(xg, (1, 0))
-    urt = jnp.transpose(u_ref, (1, 0))
-    Qt = jnp.transpose(Qm, (1, 2, 0))
-    Rt = jnp.transpose(Rm, (1, 2, 0))
-    Qft = jnp.transpose(Qf, (1, 2, 0))
-    wt = w[None, :]
-    Tt = T_star.astype(dtype)[None, :]
-    wmt = jnp.transpose(wrap_mask, (1, 0)).astype(dtype)
-    avt = jnp.broadcast_to(
-        jnp.asarray(np.asarray(a_vec, np.float32), dtype)[:, None], (A, B)
+    (Xt, Ut, Kt, kapt, xgt, urt, Qt, Rt, Qft, wt, Tt, wmt, avt) = _prep_trailing(
+        a_vec, X, U, K, kappa, T_star, xg, u_ref, Qm, Rm, Qf, w, wrap_mask
     )
 
     grid = (B // bt, N)
@@ -294,30 +334,7 @@ def linesearch_lanes_df(
         interpret=interpret,
     )(Xt, Ut, Kt, kapt, xgt, urt, Qt, Rt, Qft, wt, Tt, wmt, avt)
 
-    # ---- first-improving-alpha selection (forward.forward_linesearch)
-    improved = Js < J_old[None, :]
-    accepted = jnp.any(improved, axis=0)  # (B,)
-    idx = jnp.argmax(improved, axis=0)  # (B,)
-
-    def sel(S):
-        # per-lane alpha pick as A-1 unrolled `where`s: a take_along_axis
-        # gather here measured ~20 ms at B=1024 (TPU gathers are slow);
-        # `where` keeps it lane-dense and NaN-safe (rejected alphas may
-        # carry poisoned trajectories — a one-hot multiply would leak NaN)
-        acc = S[:, :, 0, :]
-        for a in range(1, S.shape[2]):
-            acc = jnp.where(idx[None, None, :] == a, S[:, :, a, :], acc)
-        return acc
-
-    Xsel = jnp.concatenate([Xt[:1], sel(xs)], axis=0)  # (N+1, n, B)
-    Usel = sel(us)  # (N, m, B)
-
-    acc3 = accepted[None, None, :]
-    Xfull = jnp.transpose(X, (1, 2, 0))  # (N+1, n, B)
-    Xn = jnp.transpose(jnp.where(acc3, Xsel, Xfull), (2, 0, 1))
-    Un = jnp.transpose(jnp.where(acc3, Usel, Ut), (2, 0, 1))
-    Jn = jnp.where(accepted, jnp.take_along_axis(Js, idx[None, :], axis=0)[0], J_old)
-    return Xn, Un, Jn, accepted
+    return _select_first_improving(X, Xt, Ut, xs, us, Js, J_old)
 
 
 def linesearch_dense_df(
@@ -346,20 +363,8 @@ def linesearch_dense_df(
     assert B % tb == 0, (B, tile)
 
     rt = lambda x: x.reshape(x.shape[:-1] + (B // sl, sl))  # noqa: E731
-    Xt = jnp.transpose(X[:, :-1], (1, 2, 0))  # (N, n, B)
-    Ut = jnp.transpose(U, (1, 2, 0))  # (N, m, B)
-    Kt = jnp.transpose(K, (1, 2, 3, 0))  # (N, m, n, B)
-    kapt = jnp.transpose(kappa, (1, 2, 0))  # (N, m, B)
-    xgt = jnp.transpose(xg, (1, 0))
-    urt = jnp.transpose(u_ref, (1, 0))
-    Qt = jnp.transpose(Qm, (1, 2, 0))
-    Rt = jnp.transpose(Rm, (1, 2, 0))
-    Qft = jnp.transpose(Qf, (1, 2, 0))
-    wt = w[None, :]
-    Tt = T_star.astype(dtype)[None, :]
-    wmt = jnp.transpose(wrap_mask, (1, 0)).astype(dtype)
-    avt = jnp.broadcast_to(
-        jnp.asarray(np.asarray(a_vec, np.float32), dtype)[:, None], (A, B)
+    (Xt, Ut, Kt, kapt, xgt, urt, Qt, Rt, Qft, wt, Tt, wmt, avt) = _prep_trailing(
+        a_vec, X, U, K, kappa, T_star, xg, u_ref, Qm, Rm, Qf, w, wrap_mask
     )
 
     grid = (B // tb, N)
@@ -417,27 +422,7 @@ def linesearch_dense_df(
     us = us.reshape(N, m, A, B)
     Js = Js.reshape(A, B)
 
-    # ---- first-improving-alpha selection (forward.forward_linesearch)
-    improved = Js < J_old[None, :]
-    accepted = jnp.any(improved, axis=0)  # (B,)
-    idx = jnp.argmax(improved, axis=0)  # (B,)
-
-    def sel(S):
-        # A-1 unrolled `where`s — see linesearch_lanes_df.sel
-        acc = S[:, :, 0, :]
-        for a in range(1, S.shape[2]):
-            acc = jnp.where(idx[None, None, :] == a, S[:, :, a, :], acc)
-        return acc
-
-    Xsel = jnp.concatenate([Xt[:1], sel(xs)], axis=0)  # (N+1, n, B)
-    Usel = sel(us)  # (N, m, B)
-
-    acc3 = accepted[None, None, :]
-    Xfull = jnp.transpose(X, (1, 2, 0))  # (N+1, n, B)
-    Xn = jnp.transpose(jnp.where(acc3, Xsel, Xfull), (2, 0, 1))
-    Un = jnp.transpose(jnp.where(acc3, Usel, Ut), (2, 0, 1))
-    Jn = jnp.where(accepted, jnp.take_along_axis(Js, idx[None, :], axis=0)[0], J_old)
-    return Xn, Un, Jn, accepted
+    return _select_first_improving(X, Xt, Ut, xs, us, Js, J_old)
 
 
 # Shared jit (see ops/pallas_lft.py note): system and a_vec are static.

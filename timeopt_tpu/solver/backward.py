@@ -163,12 +163,19 @@ def _backward_vmap_rule(axis_size, in_batched, A, B, lx, lu, Qstage, QfeT, eT_ok
         from timeopt_tpu.solver.horizon import _pad_batch
 
         args = [A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star, lm]
-        # n >= 3 gate: at n=2 (DoubleIntegrator) the dense backward's tiny
-        # (2,2)-slab bodies are pure latency and lose end-to-end (measured
-        # 129.4k -> 108.9k solves/s at B=1024); every n >= 4 case wins
-        # (+24-35%). Select has no such floor — its p=n+1 bodies are
-        # larger and it stays dense for all cases.
-        if A.shape[0] > 512 and A.shape[-1] >= 3:
+        # Cost-model gate (measured at B=1024 quadrotor: dense+trisym
+        # 4.76 ms per 1024-block vs lanes 5.35 ms per 8 x 128-lane tiles,
+        # i.e. ~0.67 ms per tile — dense wins iff 4.76*blocks <
+        # 0.67*tiles, ratio ~7.1). Unlike select (ratio ~3.8, any B > 512
+        # wins), backward's narrower margin means padding-heavy batches
+        # (e.g. B=640 -> 1024) would REGRESS on dense, so gate on the
+        # block/tile ratio. n >= 3 floor: at n=2 (DoubleIntegrator) the
+        # dense backward's tiny (2,2)-slab bodies are pure latency and
+        # lose end-to-end regardless (measured 129.4k -> 108.9k solves/s).
+        Bb0 = A.shape[0]
+        dense_blocks = -(-Bb0 // 1024)
+        lanes_tiles = -(-Bb0 // 128)
+        if 7 * dense_blocks <= lanes_tiles and A.shape[-1] >= 3:
             padded, Bb = _pad_batch(args, multiple=1024)
             kappa, K, ok = backward_dense_df_jit(*padded, trisym=True)
         else:
@@ -194,6 +201,13 @@ def backward_truncated(
     lm_lambda: jax.Array,
 ) -> BackwardResult:
     e, du, lx, lu, _, Qstage = stage_expansion(system, prob, X, U)
+    # Exact symmetry of Qstage/R/Qf is a precondition of the dense+trisym
+    # kernel's triangle-only congruences (Vxx symmetry induction,
+    # ops/pallas_backward.py); sym() is a bitwise no-op for
+    # already-symmetric inputs (0.5*(a+a) == a), so this costs nothing for
+    # every built-in model and makes user-supplied asymmetric Q/R follow
+    # the same symmetrized semantics on every path.
+    Qstage = sym(Qstage)
     QfT = sym(prob.Qf)
     eTs = wrap_error(X[1:] - prob.xg, prob.wrap_mask)  # (N, n)
     QfeT = eTs @ QfT.T
@@ -205,6 +219,6 @@ def backward_truncated(
 
     kappa, K, ok = _backward_core_cv(
         A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok,
-        QfT, prob.R, T_star.astype(jnp.int32), jnp.asarray(lm_lambda, dtype),
+        QfT, sym(prob.R), T_star.astype(jnp.int32), jnp.asarray(lm_lambda, dtype),
     )
     return BackwardResult(kappa=kappa, K=K, ok=ok)
