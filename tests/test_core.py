@@ -109,3 +109,17 @@ def test_backward_not_ok_on_nan_traj():
     Xbad = X.at[5].set(jnp.nan)
     bw = backward_truncated(system, prob, A, B, Xbad, U, jnp.int32(10), jnp.float64(1e-3))
     assert not bool(bw.ok)
+
+
+def test_dense_routing_gates():
+    """Measured routing thresholds (DESIGN §4): the backward cost-model
+    gate avoids padding-heavy regressions; select/forward use B > 512."""
+    from timeopt_tpu.solver.backward import use_dense_backward
+
+    assert use_dense_backward(1024, 12)
+    assert use_dense_backward(2048, 12)
+    assert use_dense_backward(8192, 4)
+    assert not use_dense_backward(640, 12)   # pad-heavy: lanes wins
+    assert not use_dense_backward(512, 12)
+    assert not use_dense_backward(1024, 2)   # n=2 floor (DoubleIntegrator)
+    assert use_dense_backward(896, 12)       # 7*1 <= 7: measured breakeven

@@ -132,6 +132,23 @@ def _pallas_applicable(x: jax.Array) -> bool:
     return backend_ok and x.dtype == jnp.float32
 
 
+def use_dense_backward(B: int, n: int) -> bool:
+    """Route the truncated backward pass to the dense+trisym kernel?
+
+    Cost-model gate (measured at B=1024 quadrotor: dense+trisym 4.76 ms
+    per 1024-block vs lanes 5.35 ms per 8 x 128-lane tiles, i.e. ~0.67 ms
+    per tile — dense wins iff 4.76*blocks < 0.67*tiles, ratio ~7.1).
+    Unlike select (ratio ~3.8, any B > 512 wins), backward's narrower
+    margin means padding-heavy batches (e.g. B=640 -> 1024) would REGRESS
+    on dense, so gate on the block/tile ratio. n >= 3 floor: at n=2
+    (DoubleIntegrator) the dense backward's tiny (2,2)-slab bodies are
+    pure latency and lose end-to-end regardless (measured 129.4k ->
+    108.9k solves/s at B=1024)."""
+    dense_blocks = -(-B // 1024)
+    lanes_tiles = -(-B // 128)
+    return 7 * dense_blocks <= lanes_tiles and n >= 3
+
+
 @jax.custom_batching.custom_vmap
 def _backward_core_cv(A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star, lm):
     return _backward_arrays(A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star, lm)
@@ -147,15 +164,10 @@ def _backward_vmap_rule(axis_size, in_batched, A, B, lx, lu, Qstage, QfeT, eT_ok
     ]
     A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star, lm = args
     if _pallas_applicable(A):
-        # Routing (scripts/bw_dense_probe.py, B=1024 quadrotor): the plain
-        # dense-tile relayout alone is bit-identical but SLOWER than lanes
-        # (5.4-5.6 vs 5.1-5.4 ms — the step is latency-bound in its m-dim
-        # factorization chains, not padding-bound), but dense + trisym
-        # (triangle-only symmetric congruences) wins at 4.76 ms, with
-        # outputs measured bitwise-equal to the plain dense run (the df-lo
-        # rounding differences stay below f32 output resolution). So:
-        # B > 512 pads to 1024 and runs dense+trisym (same rule as the
-        # select kernels); smaller batches keep the lanes layout.
+        # dense+trisym wins where use_dense_backward says so (measured
+        # cost model in its docstring; plain dense without trisym is
+        # bit-identical to lanes but SLOWER — scripts/bw_dense_probe.py);
+        # everything else keeps the lanes layout.
         from timeopt_tpu.ops.pallas_backward import (
             backward_dense_df_jit,
             backward_lanes_df_jit,
@@ -163,19 +175,7 @@ def _backward_vmap_rule(axis_size, in_batched, A, B, lx, lu, Qstage, QfeT, eT_ok
         from timeopt_tpu.solver.horizon import _pad_batch
 
         args = [A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star, lm]
-        # Cost-model gate (measured at B=1024 quadrotor: dense+trisym
-        # 4.76 ms per 1024-block vs lanes 5.35 ms per 8 x 128-lane tiles,
-        # i.e. ~0.67 ms per tile — dense wins iff 4.76*blocks <
-        # 0.67*tiles, ratio ~7.1). Unlike select (ratio ~3.8, any B > 512
-        # wins), backward's narrower margin means padding-heavy batches
-        # (e.g. B=640 -> 1024) would REGRESS on dense, so gate on the
-        # block/tile ratio. n >= 3 floor: at n=2 (DoubleIntegrator) the
-        # dense backward's tiny (2,2)-slab bodies are pure latency and
-        # lose end-to-end regardless (measured 129.4k -> 108.9k solves/s).
-        Bb0 = A.shape[0]
-        dense_blocks = -(-Bb0 // 1024)
-        lanes_tiles = -(-Bb0 // 128)
-        if 7 * dense_blocks <= lanes_tiles and A.shape[-1] >= 3:
+        if use_dense_backward(A.shape[0], A.shape[-1]):
             padded, Bb = _pad_batch(args, multiple=1024)
             kappa, K, ok = backward_dense_df_jit(*padded, trisym=True)
         else:
