@@ -70,12 +70,16 @@ def main():
             X = rollout(system, p, p.x0, U)
             A, Bm = linearize(system.step, X, U, "ad")
             e, du, lx, lu, _, Qs = stage_expansion(system, p, X, U)
+            # mirror backward_truncated's symmetry preconditioning exactly
+            # (a bitwise no-op for the built-in models' symmetric Q/R, but
+            # keeps the probe's trisym preconditions identical to production)
+            Qs = sym(Qs)
             QfT = sym(p.Qf)
             eTs = wrap_error(X[1:] - p.xg, p.wrap_mask)
             QfeT = eTs @ QfT.T
             eT_ok = jnp.all(jnp.isfinite(eTs), -1).astype(jnp.float32)
             s_ok = (jnp.all(jnp.isfinite(e), -1) & jnp.all(jnp.isfinite(du), -1)).astype(jnp.float32)
-            return A, Bm, lx, lu, Qs, QfeT, eT_ok, s_ok, QfT, p.R, T, l
+            return A, Bm, lx, lu, Qs, QfeT, eT_ok, s_ok, QfT, sym(p.R), T, l
         return jax.vmap(one)(probs, Ts, lm)
 
     args = prep(probs, Ts, lm)

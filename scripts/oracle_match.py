@@ -116,6 +116,22 @@ def run(platform):
 
         pallas_backward.backward_lanes_df_jit = _bw_adapter
 
+        # forward: B=128 never hits the production B>512 route, so patch the
+        # line search onto the dense kernel too — the dense forward is
+        # bitwise-identical to lanes (scripts/fwd_dense_probe.py), so this
+        # changes nothing numerically, but it makes "mirrors full production
+        # routing" literally true for all three kernel families
+        from timeopt_tpu.ops import pallas_forward
+
+        _fw_dense = pallas_forward.linesearch_dense_df_jit
+
+        def _fw_adapter(system_, alphas_, *args):
+            padded, Bb = _pad_batch(list(args), multiple=1024)
+            Xn, Un, Jn, acc = _fw_dense(system_, alphas_, *padded)
+            return Xn[:Bb], Un[:Bb], Jn[:Bb], acc[:Bb]
+
+        pallas_forward.linesearch_lanes_df_jit = _fw_adapter
+
     dtype = jnp.dtype(dtype_name)
     system, mk = get_system(CASE)
     base = mk(dtype=dtype)

@@ -123,3 +123,22 @@ def test_dense_routing_gates():
     assert not use_dense_backward(512, 12)
     assert not use_dense_backward(1024, 2)   # n=2 floor (DoubleIntegrator)
     assert use_dense_backward(896, 12)       # 7*1 <= 7: measured breakeven
+
+
+def test_select_forward_routing_gate():
+    """The select/forward dense-routing predicate (solver/horizon.py) — and
+    with it CLAUDE.md invariant 5: every committed-artifact batch shape
+    (suite B=25, oracle B=128, batch-of-1 latency) MUST stay on the
+    bitwise-stable lanes path; serving batches > 512 route dense."""
+    from timeopt_tpu.solver.backward import use_dense_backward
+    from timeopt_tpu.solver.horizon import use_dense_select
+
+    # committed-artifact shapes: lanes on ALL THREE kernel families
+    for b in (1, 25, 128):
+        assert not use_dense_select(b)
+        assert not use_dense_backward(b, 13)
+    # serving shapes: dense select/forward
+    assert not use_dense_select(512)
+    assert use_dense_select(513)
+    assert use_dense_select(1024)
+    assert use_dense_select(4096)

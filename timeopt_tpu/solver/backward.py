@@ -140,7 +140,11 @@ def use_dense_backward(B: int, n: int) -> bool:
     per tile — dense wins iff 4.76*blocks < 0.67*tiles, ratio ~7.1).
     Unlike select (ratio ~3.8, any B > 512 wins), backward's narrower
     margin means padding-heavy batches (e.g. B=640 -> 1024) would REGRESS
-    on dense, so gate on the block/tile ratio. n >= 3 floor: at n=2
+    on dense, so gate on the block/tile ratio. The <= gives the exact
+    breakeven (ceil(B/128) == 7*ceil(B/1024), e.g. B in 769..896) to
+    dense deliberately: the two sides differ by less than the measured
+    5.1-5.4 ms run-to-run noise band, and padding those batches to 1024
+    amortizes under the pipelined serving stream. n >= 3 floor: at n=2
     (DoubleIntegrator) the dense backward's tiny (2,2)-slab bodies are
     pure latency and lose end-to-end regardless (measured 129.4k ->
     108.9k solves/s at B=1024)."""

@@ -142,12 +142,14 @@ def _linesearch_core(system: System, alphas: tuple):
                 linesearch_dense_df_jit,
                 linesearch_lanes_df_jit,
             )
-            from timeopt_tpu.solver.horizon import _pad_batch
+            from timeopt_tpu.solver.horizon import _pad_batch, use_dense_select
 
-            # same dense-vs-lanes routing rule as select/backward: B > 512
-            # pads to 1024 and runs the dense-tile kernel (the lanes layout
-            # pads the A=5 alpha axis to 8 sublanes, +60% on those ops)
-            if X.shape[0] > 512:
+            # same dense-vs-lanes routing rule as select (the lanes layout
+            # pads the A=5 alpha axis to 8 sublanes, +60% on those ops).
+            # Backward uses the stricter cost-model gate
+            # solver/backward.use_dense_backward instead, so e.g. B=640
+            # routes forward/select dense but backward lanes.
+            if use_dense_select(X.shape[0]):
                 padded, Bb = _pad_batch(list(args), multiple=1024)
                 Xn, Un, Jn, acc = linesearch_dense_df_jit(system, alphas, *padded)
             else:

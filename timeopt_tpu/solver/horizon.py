@@ -340,6 +340,21 @@ def _pallas_applicable(x: jax.Array) -> bool:
     return backend_ok and x.dtype == jnp.float32
 
 
+def use_dense_select(B: int) -> bool:
+    """Route a select/forward batch to the dense-tile (8, 128)-vreg kernels?
+
+    Measured cost model (B=1024 quadrotor N=160): dense select ~19.8 ms per
+    1024-block vs lanes ~5.15 ms per 128-lane tile (ratio ~3.8), so padding
+    any B > 512 up to the next 1024 multiple wins even when most of the pad
+    is filler. B <= 512 keeps the lanes kernels — which also keeps every
+    committed-artifact shape (suite B=25, oracle B=128, batch-of-1 latency)
+    on the BITWISE-stable lanes path (CLAUDE.md invariant 5). The forward
+    line search follows this same rule (its dense kernel is bitwise-
+    identical to lanes either way); backward uses the stricter
+    solver/backward.use_dense_backward cost-model gate."""
+    return B > 512
+
+
 def _pad_batch(arrays, multiple: int = 128):
     """Pad the leading batch axis of each array up to a multiple of the lane
     tile by repeating the first element (well-conditioned filler). Returns
@@ -393,7 +408,7 @@ def _make_select_cv(t_min: int):
             )
 
             # same dense-vs-lanes routing rule as the fused path below
-            if A_aug.shape[0] > 512:
+            if use_dense_select(A_aug.shape[0]):
                 padded, Bb = _pad_batch(
                     [A_aug, B_aug, Q_aug, R_inv, C], multiple=1024
                 )
@@ -478,14 +493,8 @@ def _make_select_fused_cv(t_min: int):
                 propagator_select_lanes_df_fused_jit,
             )
 
-            # Dense-tile kernel (full (8, 128) batch tiles, trisym
-            # products) costs ~19.8 ms per 1024-block vs the lanes
-            # kernel's ~5.15 ms per 128-lane tile (quadrotor N=160), so
-            # padding the batch up to the next 1024 multiple wins for any
-            # B > 512 even when most of the pad is filler. B <= 512 keeps
-            # the lanes kernel — which also keeps the committed
-            # oracle/suite shapes (B <= 128) on the bit-stable lanes path.
-            if args[0].shape[0] > 512:
+            # dense-vs-lanes routing: see use_dense_select's cost model
+            if use_dense_select(args[0].shape[0]):
                 padded, Bb = _pad_batch(list(args), multiple=1024)
                 J = propagator_select_dense_df_fused_jit(*padded, t_min=t_min)[:Bb]
             else:
