@@ -53,12 +53,21 @@ def timed_reps(fn, args, reps):
 
 
 def main():
-    system, mk = get_system(os.environ.get("CASE", "Quadrotor"))
+    case = os.environ.get("CASE", "Quadrotor")
+    system, mk = get_system(case)
     base = mk(dtype=jnp.float32)
     rng = np.random.default_rng(0)
     n, m, N = system.n, system.m, base.N
     x0s = np.tile(np.asarray(base.x0, np.float32), (B, 1))
-    x0s[:, :3] += 0.4 * rng.standard_normal((B, 3)).astype(np.float32)
+    if case == "Quadrotor":
+        x0s[:, :3] += 0.4 * rng.standard_normal((B, 3)).astype(np.float32)
+    else:
+        # per-case trial distribution (suite sigmas) — e.g.
+        # CASE=PointMass_Navigation validates the k-varying-Hessian
+        # (extra_stage_cost) backward through the same dense/trisym A/B
+        x0s += np.asarray(system.sigma_x0, np.float32) * rng.standard_normal(
+            x0s.shape
+        ).astype(np.float32)
     probs = broadcast_problem(base, B).replace(x0=jnp.asarray(x0s))
     Ts = jnp.asarray(48 + rng.integers(0, 8, size=B), jnp.int32)
     lm = jnp.full((B,), 1e-3, jnp.float32)

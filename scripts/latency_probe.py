@@ -83,14 +83,45 @@ def main():
 
     modes = os.environ.get("MODES", "seq,assoc").split(",")
     table = {
-        "seq": ("seq (batch-of-1 Pallas)", SolveOptions(max_iter=MAX_ITER)),
+        "seq": ("seq (batch-of-1 Pallas)", SolveOptions(max_iter=MAX_ITER), {}),
         "assoc": ("assoc_df (time-on-lanes)",
-                  SolveOptions(max_iter=MAX_ITER, scan_mode="assoc_df")),
+                  SolveOptions(max_iter=MAX_ITER, scan_mode="assoc_df"), {}),
+        # round-5 latency candidates (VERDICT item 3): opt-in kernel knobs on
+        # the batch-of-1 lanes tile, applied by monkeypatching the module jit
+        # entries the custom_vmap dispatch imports — the default lanes path
+        # stays frozen (invariant 5); any adopted variant gets its own
+        # routing + oracle check before shipping.
+        "seq_trisym": ("seq + trisym lanes", SolveOptions(max_iter=MAX_ITER),
+                       {"select": {"trisym": True}, "backward": {"trisym": True}}),
+        "seq_qf32": ("seq + f32 query", SolveOptions(max_iter=MAX_ITER),
+                     {"select": {"query_df": False}}),
+        "seq_trisym_qf32": ("seq + trisym + f32 query",
+                            SolveOptions(max_iter=MAX_ITER),
+                            {"select": {"trisym": True, "query_df": False},
+                             "backward": {"trisym": True}}),
     }
+    import functools
+
+    from timeopt_tpu.ops import pallas_backward, pallas_lft
+
+    orig_sel = pallas_lft.propagator_select_lanes_df_fused_jit
+    orig_bw = pallas_backward.backward_lanes_df_jit
     for mode in modes:
-        name, opts = table[mode.strip()]
-        t_lo, t_star, j_star = timed(make_prog(system, prob, opts, R_LO), prob.x0)
-        t_hi, _, _ = timed(make_prog(system, prob, opts, R_HI), prob.x0)
+        name, opts, patches = table[mode.strip()]
+        if "select" in patches:
+            pallas_lft.propagator_select_lanes_df_fused_jit = functools.partial(
+                orig_sel, **patches["select"]
+            )
+        if "backward" in patches:
+            pallas_backward.backward_lanes_df_jit = functools.partial(
+                orig_bw, **patches["backward"]
+            )
+        try:
+            t_lo, t_star, j_star = timed(make_prog(system, prob, opts, R_LO), prob.x0)
+            t_hi, _, _ = timed(make_prog(system, prob, opts, R_HI), prob.x0)
+        finally:
+            pallas_lft.propagator_select_lanes_df_fused_jit = orig_sel
+            pallas_backward.backward_lanes_df_jit = orig_bw
         per = (t_hi - t_lo) / (R_HI - R_LO)
         print(f"  {name:28s} T*={t_star:4d} J*={j_star:12.4f} "
               f"latency/solve={per * 1e3:8.2f} ms  (t_lo={t_lo:.3f}s t_hi={t_hi:.3f}s)",

@@ -177,9 +177,17 @@ def backward_lanes_df(
     A, B, lx, lu, Qstage, QfeT, eT_ok, step_ok, Qf, R, T_star, lm,
     *,
     block_b: int = 128,
+    trisym: bool = False,
     interpret: bool = False,
 ):
     """Batched truncated backward pass (df32 lanes kernel).
+
+    trisym=False (the default) is the frozen bitwise-stable contract path
+    (CLAUDE.md invariant 5); trisym=True runs the triangle-symmetric body
+    in the lanes layout — ragged rows re-pad on the sublane axis there
+    (ops/df32.py layout note), measured a throughput dead end in round 3,
+    exposed as a knob for the round-5 batch-of-1 latency probing
+    (scripts/latency_probe.py).
 
     Batch-leading inputs: A (B,N,n,n), B (B,N,n,m), lx (B,N,n), lu (B,N,m),
     Qstage (B,N,n,n), QfeT (B,N,n), eT_ok/step_ok (B,N), Qf (B,n,n),
@@ -223,7 +231,7 @@ def backward_lanes_df(
     out_K = pl.BlockSpec((1, m, n, block_b), rev, memory_space=pltpu.VMEM)
     out_ok = pl.BlockSpec((1, 1, block_b), rev3, memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_backward_kernel, N=N)
+    kernel = functools.partial(_backward_kernel, N=N, trisym=trisym)
     kappa, K, ok = pl.pallas_call(
         kernel,
         grid=grid,
@@ -355,7 +363,7 @@ def backward_dense_df(
 # (warm start + loop body); caching the trace by avals halves its share of
 # the cold compile (see ops/pallas_lft.py note).
 backward_lanes_df_jit = jax.jit(
-    backward_lanes_df, static_argnames=("block_b", "interpret")
+    backward_lanes_df, static_argnames=("block_b", "trisym", "interpret")
 )
 backward_dense_df_jit = jax.jit(
     backward_dense_df, static_argnames=("tile", "trisym", "interpret")

@@ -72,22 +72,23 @@ def _sym(A):
 
 
 def _inv_lanes(A, jitter: float):
-    """Pivot-free Gauss-Jordan inverse of (p, p, b) + jitter*I, batched over
-    lanes; row-list formulation (no dynamic-update-slice)."""
-    p, _, b = A.shape
-    eye = _eye_lanes(p, b, A.dtype)
-    M = jnp.concatenate([A + jitter * eye, eye], axis=1)  # (p, 2p, b)
-    rows = [M[i] for i in range(p)]  # each (2p, b)
+    """Pivot-free Gauss-Jordan inverse of (p, p, *b) + jitter*I, batched over
+    the trailing batch axes (a single lanes axis or the dense-tile
+    (sublane, lane) pair); row-list formulation (no dynamic-update-slice)."""
+    p = A.shape[0]
+    eye = _eye_lanes(p, A.shape[2:], A.dtype)
+    M = jnp.concatenate([A + jitter * eye, eye], axis=1)  # (p, 2p, *b)
+    rows = [M[i] for i in range(p)]  # each (2p, *b)
     for i in range(p):
-        r = rows[i] / rows[i][i][None, :]
+        r = rows[i] / rows[i][i][None]
         new_rows = []
         for j in range(p):
             if j == i:
                 new_rows.append(r)
             else:
-                new_rows.append(rows[j] - rows[j][i][None, :] * r)
+                new_rows.append(rows[j] - rows[j][i][None] * r)
         rows = new_rows
-    return jnp.stack([rows[i][p:] for i in range(p)], axis=0)  # (p, p, b)
+    return jnp.stack([rows[i][p:] for i in range(p)], axis=0)  # (p, p, *b)
 
 
 def _elements(Ak, Qk, BRBk, jitter):
@@ -368,9 +369,42 @@ def _df_compose_query(
         j_ref[0, 0] = jnp.full(bshape, jnp.inf, E[0].dtype)
 
 
+def _f32_query_w0(Ep, Fp, Gp, etil, W0h, *, jitter):
+    """Plain-f32 terminal query in the Lt-cancelled W0 form (hi parts only).
+
+    Mixed-precision lever (round 5): the query feeds ONLY j_ref — its error
+    never enters the df32 prefix carry, so unlike the compose chain it does
+    not compound over the N steps. An f32 query perturbs each J(T) value by
+    ~kappa * eps_f32 relative (kappa ~ 1e4..1e5 through the two inversions)
+    — whether that moves any argmin on real problem sets is an empirical
+    question settled on hardware against the f64 oracle
+    (scripts/mixedprec_probe.py / oracle_match OM_QUERY=f32). Cost: the
+    query's ~3.8k df terms (~25% of the step) collapse to ~2 f32 ops each.
+
+    Same math as _df_compose_query_w0's df branch: M = G11 + e g' + g e' +
+    g22 e e', K = W0 + M, X0 = Ep - FEt K^-1 FEt', J = 0.5 (X0^-1)[p-1,p-1].
+    """
+    Eh, Fh, Gh = Ep[0], Fp[0], Gp[0]
+    p = Eh.shape[0]
+    n = etil.shape[0]
+
+    G11 = Gh[:n, :n]
+    g = Gh[:n, n:]  # (n, 1, bt)
+    g22 = Gh[n:, n:]  # (1, 1, bt)
+    eg = etil * g.swapaxes(0, 1)  # (n, n, bt) = e g'
+    ee = (etil * g22) * etil.swapaxes(0, 1)
+    M = G11 + eg + eg.swapaxes(0, 1) + ee
+    K = W0h + M
+    Kinv = _inv_lanes(K, 0.0)
+    FEt = Fh[:, :n] + Fh[:, n:] * etil.swapaxes(0, 1)  # (p, n, bt)
+    X0 = _sym(Eh - _mm(_mm(FEt, Kinv), FEt.swapaxes(0, 1)))
+    X0inv = _inv_lanes(X0, jitter)
+    return 0.5 * X0inv[p - 1, p - 1]
+
+
 def _df_compose_query_w0(
     E, F, G, etil, W0, j_ref, cEh, cEl, cFh, cFl, cGh, cGl, *, jitter, t_min,
-    trisym=False,
+    trisym=False, query_df=True,
 ):
     """Compose + terminal query in the Lt-cancelled form (default fused path).
 
@@ -397,6 +431,18 @@ def _df_compose_query_w0(
     Ep, Fp, Gp = _df_compose(
         E, F, G, cEh, cEl, cFh, cFl, cGh, cGl, jitter=jitter, trisym=trisym
     )
+
+    if not query_df:
+
+        @pl.when(k + 1 >= t_min)
+        def _():
+            j_ref[0, 0] = _f32_query_w0(Ep, Fp, Gp, etil, W0[0], jitter=jitter)
+
+        @pl.when(k + 1 < t_min)
+        def _():
+            j_ref[0, 0] = jnp.full(bshape, jnp.inf, E[0].dtype)
+
+        return
 
     @pl.when(k + 1 >= t_min)
     def _():
@@ -569,6 +615,7 @@ def _df_select_fused_kernel(
     a_ref, b_ref, vec_ref, scal_ref, iqh_ref, iql_ref, rinv_ref,
     w0h_ref, w0l_ref,
     j_ref, cEh, cEl, cFh, cFl, cGh, cGl, *, jitter, t_min, trisym=False,
+    query_df=True, element_df=True,
 ):
     """Assemble the step-k augmented blocks from raw inputs (same arithmetic
     as solver/augmented.py build_augmented + build_terminal_factors, f32 —
@@ -642,6 +689,49 @@ def _df_select_fused_kernel(
     # ẽ = e_{k+1}/s_{k+1} — the only k-varying part of the terminal factor
     etil = (e_next * inv_skp1[None])[:, None]  # (n, 1, bt)
 
+    if not element_df:
+        # Mixed-precision lever (round 5): build the step-k LFT element in
+        # PLAIN f32 (hi parts only) and promote to df for the compose chain.
+        # The element is a pure function of the step inputs, so its f32
+        # arithmetic error acts as an input perturbation of the (df-exact)
+        # composition — but amplified by kappa(Q_aug) ~ 1e4..1e5 through the
+        # rank-1 inverse update, i.e. ~1e-3 relative — 4 orders larger than
+        # rounding the inputs themselves. Whether that moves real argmins is
+        # settled on hardware (scripts/mixedprec_probe.py; see the DESIGN §5
+        # round-5 record before routing anything through this path).
+        q32 = (Qe * inv_sk[None])[:, None]  # (n, 1, bt)
+        iqh = iq[0]
+        w32 = _mm(iqh, q32)  # (n, 1, bt)
+        s32 = (corner * inv_sk * inv_sk + jitter)[None, None] - _mm_at_b(q32, w32)
+        inv_s32 = 1.0 / s32  # (1, 1, bt)
+        u32 = jnp.concatenate(
+            [w32, -jnp.ones((1, 1) + bshape, dtype)], axis=0
+        )  # (p, 1, bt)
+        us = u32 * inv_s32
+        # E = pad(iqh) + (1/s) u u'
+        E32 = _sym(
+            jnp.concatenate(
+                [jnp.concatenate([iqh, zcol], axis=1), zrow], axis=0
+            )
+            + us * u32.swapaxes(0, 1)
+        )
+        A_left32 = A_aug[:, :n, :]  # (p, n, bt)
+        DAt_top32 = _mm_a_bt(iqh, A_left32)  # (n, p, bt)
+        v32 = _mm(A_aug, u32)  # (p, 1, bt)
+        F32 = (
+            jnp.concatenate([DAt_top32, zrow], axis=0)
+            + us * v32.swapaxes(0, 1)
+        )
+        G32 = _sym(
+            _mm(A_left32, DAt_top32) + (v32 * inv_s32) * v32.swapaxes(0, 1) + BRB
+        )
+        _df_compose_query_w0(
+            dfm.df(E32), dfm.df(F32), dfm.df(G32), etil, W0, j_ref,
+            cEh, cEl, cFh, cFl, cGh, cGl,
+            jitter=jitter, t_min=t_min, trisym=trisym, query_df=query_df,
+        )
+        return
+
     # ---- arrow element
     q = (Qe * inv_sk[None])[:, None]  # (n, 1, bt) f32 (assembly rounding)
     q_df = dfm.df_mat(q)
@@ -696,7 +786,7 @@ def _df_select_fused_kernel(
 
     _df_compose_query_w0(
         E, F, G, etil, W0, j_ref, cEh, cEl, cFh, cFl, cGh, cGl,
-        jitter=jitter, t_min=t_min, trisym=trisym,
+        jitter=jitter, t_min=t_min, trisym=trisym, query_df=query_df,
     )
 
 
@@ -713,6 +803,9 @@ def propagator_select_lanes_df_fused(
     jitter: float = 1e-9,
     block_b: int = 128,
     t_min: int = 1,
+    trisym: bool = False,
+    query_df: bool = True,
+    element_df: bool = True,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused-assembly df32 propagator selection, batch-leading layout.
@@ -755,7 +848,10 @@ def propagator_select_lanes_df_fused(
     rspec = pl.BlockSpec((m, m, block_b), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM)
     jspec = pl.BlockSpec((1, 1, block_b), lambda i, k: (k, 0, i), memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_df_select_fused_kernel, jitter=jitter, t_min=t_min)
+    kernel = functools.partial(
+        _df_select_fused_kernel, jitter=jitter, t_min=t_min, trisym=trisym,
+        query_df=query_df, element_df=element_df,
+    )
     scratch = [pltpu.VMEM((p, p, block_b), At.dtype) for _ in range(6)]
     out = pl.pallas_call(
         kernel,
@@ -802,6 +898,8 @@ def propagator_select_dense_df_fused(
     tile: tuple = (8, 128),
     t_min: int = 1,
     trisym: bool = True,
+    query_df: bool = True,
+    element_df: bool = True,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused-assembly df32 propagator selection, dense-tile batch layout.
@@ -875,7 +973,8 @@ def propagator_select_dense_df_fused(
     )
 
     kernel = functools.partial(
-        _df_select_fused_kernel, jitter=jitter, t_min=t_min, trisym=trisym
+        _df_select_fused_kernel, jitter=jitter, t_min=t_min, trisym=trisym,
+        query_df=query_df, element_df=element_df,
     )
     scratch = [pltpu.VMEM((p, p, st, sl), At.dtype) for _ in range(6)]
     # (8, 128)-tile temporaries are 8x the lanes kernel's; the body's live set
@@ -911,9 +1010,15 @@ propagator_select_dense_df_jit = jax.jit(
 )
 propagator_select_lanes_df_fused_jit = jax.jit(
     propagator_select_lanes_df_fused,
-    static_argnames=("jitter", "block_b", "t_min", "interpret"),
+    static_argnames=(
+        "jitter", "block_b", "t_min", "trisym", "query_df", "element_df",
+        "interpret",
+    ),
 )
 propagator_select_dense_df_fused_jit = jax.jit(
     propagator_select_dense_df_fused,
-    static_argnames=("jitter", "tile", "t_min", "trisym", "interpret"),
+    static_argnames=(
+        "jitter", "tile", "t_min", "trisym", "query_df", "element_df",
+        "interpret",
+    ),
 )
