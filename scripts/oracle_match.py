@@ -33,6 +33,13 @@ CASE = os.environ.get("OM_CASE", "Quadrotor")
 # the trisym numerics directly, not just the lanes path the committed
 # artifacts validate. Writes/reads oracle_f32_dense*.npz.
 PATH = os.environ.get("OM_PATH", "lanes")
+# Round-5 mixed-precision candidates (scripts/mixedprec_probe.py): OM_ELEM=f32
+# / OM_QUERY=f32 score the select kernel's element_df=False / query_df=False
+# variants against the f64 oracle. Applied on top of OM_PATH=dense (the
+# serving path) and written to candidate-tagged npz files so the committed
+# production artifacts are never clobbered.
+ELEM = os.environ.get("OM_ELEM", "df")
+QUERY = os.environ.get("OM_QUERY", "df")
 OUT = os.path.join(os.path.dirname(__file__), "..", "results")
 
 
@@ -40,8 +47,21 @@ def _suffix():
     return "" if CASE == "Quadrotor" else f"_{CASE}"
 
 
+def _knob_kwargs():
+    kw = {}
+    if ELEM == "f32":
+        kw["element_df"] = False
+    if QUERY == "f32":
+        kw["query_df"] = False
+    return kw
+
+
 def _f32_name(suffix):
     tag = "_dense" if PATH == "dense" else ""
+    if ELEM == "f32":
+        tag += "_ef32"
+    if QUERY == "f32":
+        tag += "_qf32"
     return f"oracle_f32{tag}{suffix}.npz"
 
 
@@ -86,15 +106,17 @@ def run(platform):
         from timeopt_tpu.ops import pallas_lft
         from timeopt_tpu.solver.horizon import _pad_batch
 
-        def _pad_adapter(dense_jit):
+        def _pad_adapter(dense_jit, **kw):
             def adapter(*args, t_min):
                 padded, Bb = _pad_batch(list(args), multiple=1024)
-                return dense_jit(*padded, t_min=t_min)[:Bb]
+                return dense_jit(*padded, t_min=t_min, **kw)[:Bb]
 
             return adapter
 
+        # mixed-precision knobs exist on the FUSED kernel only (the generic
+        # extra_stage_cost kernel stays uniform df32)
         pallas_lft.propagator_select_lanes_df_fused_jit = _pad_adapter(
-            pallas_lft.propagator_select_dense_df_fused_jit
+            pallas_lft.propagator_select_dense_df_fused_jit, **_knob_kwargs()
         )
         pallas_lft.propagator_select_lanes_df_jit = _pad_adapter(
             pallas_lft.propagator_select_dense_df_jit

@@ -113,3 +113,32 @@ def test_fused_path_e2e_quadrotor(rng):
     np.testing.assert_allclose(
         float(r_fused.J_star), float(r_plain.J_star), rtol=1e-8
     )
+
+
+def test_mixedprec_knobs_interpret(rng):
+    """Bitrot guard for the round-5 mixed-precision knobs (query_df=False /
+    element_df=False — probe-only, NOT routed by default): both compile in
+    interpret mode and track the df32 curve loosely (the f32 query perturbs
+    J ~ kappa*eps_f32; interpret-mode df degradation adds on top)."""
+    from timeopt_tpu.ops.pallas_lft import propagator_select_dense_df_fused
+
+    probs = _problems(rng, B=8, dtype=np.float64)
+    f32in = []
+    for system, prob, A, Bm, X, U in probs:
+        fi = build_fused_inputs(system, prob, X, U, A, Bm, psd_levels=1)
+        f32in.append(jax.tree.map(lambda x: x.astype(jnp.float32), fi))
+    stack = lambda get: jnp.stack([get(fi) for fi in f32in])  # noqa: E731
+    args = (
+        stack(lambda f: f.A), stack(lambda f: f.B), stack(lambda f: f.vecs),
+        stack(lambda f: f.scal), stack(lambda f: f.Qq), stack(lambda f: f.R_inv),
+        stack(lambda f: f.Lt),
+    )
+    J_df = np.asarray(propagator_select_lanes_df_fused(*args, block_b=8, interpret=True))
+    for kw in ({"query_df": False}, {"element_df": False}):
+        J_mp = np.asarray(
+            propagator_select_dense_df_fused(
+                *args, tile=(2, 4), trisym=True, interpret=True, **kw
+            )
+        )
+        assert np.isfinite(J_mp).all() == np.isfinite(J_df).all()
+        np.testing.assert_allclose(J_mp, J_df, rtol=2e-2, atol=2e-2)
