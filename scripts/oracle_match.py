@@ -57,7 +57,7 @@ def _knob_kwargs():
 
 
 def _f32_name(suffix):
-    tag = "_dense" if PATH == "dense" else ""
+    tag = {"lanes": "", "dense": "_dense", "lanes_trisym": "_lanes_trisym"}[PATH]
     if ELEM == "f32":
         tag += "_ef32"
     if QUERY == "f32":
@@ -96,6 +96,23 @@ def run(platform):
 
     from timeopt_tpu.models import get_system
     from timeopt_tpu.solver.ilqr import SolveOptions, broadcast_problem, solve_batch
+
+    if platform == "tpu" and PATH == "lanes_trisym":
+        # the round-5 batch-of-1 LATENCY routing candidate: trisym applied on
+        # the 128-lane tile (the exact kernel config a padded batch-of-1
+        # runs; B=128 distinct problems is a strictly stronger test than the
+        # 128 identical lanes of a padded single solve). Generic/forward
+        # kernels unchanged (no trisym there).
+        import functools
+
+        from timeopt_tpu.ops import pallas_backward, pallas_lft
+
+        pallas_lft.propagator_select_lanes_df_fused_jit = functools.partial(
+            pallas_lft.propagator_select_lanes_df_fused_jit, trisym=True
+        )
+        pallas_backward.backward_lanes_df_jit = functools.partial(
+            pallas_backward.backward_lanes_df_jit, trisym=True
+        )
 
     if platform == "tpu" and PATH == "dense":
         # route the B=128 set through the dense+trisym serving kernels by

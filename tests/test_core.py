@@ -142,3 +142,14 @@ def test_select_forward_routing_gate():
     assert use_dense_select(513)
     assert use_dense_select(1024)
     assert use_dense_select(4096)
+
+
+def test_latency_trisym_gate():
+    """The batch-of-1 latency routing (round 5: trisym on the lanes tile,
+    57.7 -> 44.8 ms/solve) fires ONLY at B == 1 — committed suite (25) and
+    oracle (128) shapes stay on the frozen trisym=False lanes contract."""
+    from timeopt_tpu.solver.horizon import use_latency_trisym
+
+    assert use_latency_trisym(1)
+    for b in (2, 25, 128, 512, 1024):
+        assert not use_latency_trisym(b)

@@ -183,8 +183,12 @@ def _backward_vmap_rule(axis_size, in_batched, A, B, lx, lu, Qstage, QfeT, eT_ok
             padded, Bb = _pad_batch(args, multiple=1024)
             kappa, K, ok = backward_dense_df_jit(*padded, trisym=True)
         else:
+            from timeopt_tpu.solver.horizon import use_latency_trisym
+
             padded, Bb = _pad_batch(args)
-            kappa, K, ok = backward_lanes_df_jit(*padded)
+            kappa, K, ok = backward_lanes_df_jit(
+                *padded, trisym=use_latency_trisym(A.shape[0])
+            )
         kappa, K, ok = kappa[:Bb], K[:Bb], ok[:Bb]
     else:
         kappa, K, ok = jax.vmap(_backward_arrays)(

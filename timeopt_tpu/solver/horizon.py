@@ -355,6 +355,22 @@ def use_dense_select(B: int) -> bool:
     return B > 512
 
 
+def use_latency_trisym(B: int) -> bool:
+    """Batch-of-1 (the `solve()` latency path) runs the lanes kernels with
+    trisym=True: triangle-only symmetric congruences cut ~35-46% of the df
+    product terms, and at batch-of-1 the pipeline is latency-bound on the
+    dependent-op chain, so the cut lands despite the lanes layout's ragged
+    sublane re-padding (which made trisym a THROUGHPUT dead end there,
+    round 3). Measured (scripts/latency_probe.py, quadrotor max_iter=12,
+    in-graph repetition): 57.7 -> 44.8 ms/solve, identical T*/J*; oracle
+    validation of the exact kernel config on the same 128-lane tile:
+    `OM_PATH=lanes_trisym scripts/oracle_match.py` (B=128 distinct
+    problems — strictly stronger than a padded single solve's 128
+    identical lanes). Committed suite/oracle artifacts (B=25/128) are
+    untouched: the gate fires only at B == 1."""
+    return B == 1
+
+
 def _pad_batch(arrays, multiple: int = 128):
     """Pad the leading batch axis of each array up to a multiple of the lane
     tile by repeating the first element (well-conditioned filler). Returns
@@ -499,7 +515,10 @@ def _make_select_fused_cv(t_min: int):
                 J = propagator_select_dense_df_fused_jit(*padded, t_min=t_min)[:Bb]
             else:
                 padded, Bb = _pad_batch(list(args))
-                J = propagator_select_lanes_df_fused_jit(*padded, t_min=t_min)[:Bb]
+                J = propagator_select_lanes_df_fused_jit(
+                    *padded, t_min=t_min,
+                    trisym=use_latency_trisym(args[0].shape[0]),
+                )[:Bb]
         else:
             J = jax.vmap(impl)(*args)
         return J, True
