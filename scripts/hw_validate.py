@@ -8,6 +8,8 @@ time — each step exits before the next claims the chip):
                  the 5-case `summary` (the north-star 640-problem score)
   oracle_dense   the same through the dense+trisym serving routing
                  (OM_PATH=dense — select, backward AND forward patched)
+  oracle_latency the same through the batch-of-1 trisym latency routing's
+                 kernel config (OM_PATH=lanes_trisym, 128-lane tile)
   kernel_probes  select_dense_probe / bw_dense_probe / fwd_dense_probe
                  (dense-vs-lanes bitwise + trisym agreement + timings) and
                  trisym_e2e_probe (end-to-end T*/J agreement at B=1024)
@@ -289,6 +291,7 @@ def step_cold_compile():
 STEPS = {
     "oracle_lanes": lambda: step_oracle("lanes"),
     "oracle_dense": lambda: step_oracle("dense"),
+    "oracle_latency": lambda: step_oracle("lanes_trisym"),
     "kernel_probes": step_kernel_probes,
     "latency": step_latency,
     "bench": step_bench,
