@@ -142,3 +142,31 @@ def test_mixedprec_knobs_interpret(rng):
         )
         assert np.isfinite(J_mp).all() == np.isfinite(J_df).all()
         np.testing.assert_allclose(J_mp, J_df, rtol=2e-2, atol=2e-2)
+
+
+def test_lanes_trisym_interpret_tracks_df(rng):
+    """Bitrot guard for the batch-of-1 latency routing's kernel config
+    (lanes fused select, trisym=True — use_latency_trisym): compiles in
+    interpret mode and tracks the trisym=False curve loosely (hardware
+    agreement is f32-ulp, oracle-validated 637/640; interpret-mode CPU
+    degrades df32, hence the loose tolerance)."""
+    probs = _problems(rng, B=8, dtype=np.float64)
+    f32in = []
+    for system, prob, A, Bm, X, U in probs:
+        fi = build_fused_inputs(system, prob, X, U, A, Bm, psd_levels=1)
+        f32in.append(jax.tree.map(lambda x: x.astype(jnp.float32), fi))
+    stack = lambda get: jnp.stack([get(fi) for fi in f32in])  # noqa: E731
+    args = (
+        stack(lambda f: f.A), stack(lambda f: f.B), stack(lambda f: f.vecs),
+        stack(lambda f: f.scal), stack(lambda f: f.Qq), stack(lambda f: f.R_inv),
+        stack(lambda f: f.Lt),
+    )
+    J_plain = np.asarray(
+        propagator_select_lanes_df_fused(*args, block_b=8, interpret=True)
+    )
+    J_tri = np.asarray(
+        propagator_select_lanes_df_fused(
+            *args, block_b=8, trisym=True, interpret=True
+        )
+    )
+    np.testing.assert_allclose(J_tri, J_plain, rtol=1e-3, atol=1e-3)
