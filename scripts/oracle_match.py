@@ -98,20 +98,28 @@ def run(platform):
     from timeopt_tpu.solver.ilqr import SolveOptions, broadcast_problem, solve_batch
 
     if platform == "tpu" and PATH == "lanes_trisym":
-        # the round-5 batch-of-1 LATENCY routing candidate: trisym applied on
-        # the 128-lane tile (the exact kernel config a padded batch-of-1
-        # runs; B=128 distinct problems is a strictly stronger test than the
-        # 128 identical lanes of a padded single solve). Generic/forward
-        # kernels unchanged (no trisym there).
-        import functools
-
+        # the round-5 batch-of-1 LATENCY routing (use_latency_trisym): trisym
+        # applied on the 128-lane tile (the exact kernel config a padded
+        # batch-of-1 runs; B=128 distinct problems is a strictly stronger
+        # test than the 128 identical lanes of a padded single solve).
+        # Generic/forward kernels unchanged (no trisym there).
+        # NOTE: must FORCE trisym=True — the production dispatch explicitly
+        # passes trisym=use_latency_trisym(B)=False at B=128, which would
+        # silently override a functools.partial's keyword.
         from timeopt_tpu.ops import pallas_backward, pallas_lft
 
-        pallas_lft.propagator_select_lanes_df_fused_jit = functools.partial(
-            pallas_lft.propagator_select_lanes_df_fused_jit, trisym=True
+        def _force_trisym(fn):
+            def wrapped(*args, **kw):
+                kw["trisym"] = True
+                return fn(*args, **kw)
+
+            return wrapped
+
+        pallas_lft.propagator_select_lanes_df_fused_jit = _force_trisym(
+            pallas_lft.propagator_select_lanes_df_fused_jit
         )
-        pallas_backward.backward_lanes_df_jit = functools.partial(
-            pallas_backward.backward_lanes_df_jit, trisym=True
+        pallas_backward.backward_lanes_df_jit = _force_trisym(
+            pallas_backward.backward_lanes_df_jit
         )
 
     if platform == "tpu" and PATH == "dense":
@@ -124,7 +132,10 @@ def run(platform):
         from timeopt_tpu.solver.horizon import _pad_batch
 
         def _pad_adapter(dense_jit, **kw):
-            def adapter(*args, t_min):
+            # `_lanes_kw` swallows lanes-only dispatch kwargs (the B==1
+            # latency trisym flag): the dense serving kernels have their own
+            # trisym default, which this adapter's **kw controls
+            def adapter(*args, t_min, **_lanes_kw):
                 padded, Bb = _pad_batch(list(args), multiple=1024)
                 return dense_jit(*padded, t_min=t_min, **kw)[:Bb]
 
@@ -146,7 +157,7 @@ def run(platform):
         _bw_lanes = pallas_backward.backward_lanes_df_jit
         _bw_dense = pallas_backward.backward_dense_df_jit
 
-        def _bw_adapter(*args):
+        def _bw_adapter(*args, **_lanes_kw):
             if args[0].shape[-1] < 3:
                 return _bw_lanes(*args)
             padded, Bb = _pad_batch(list(args), multiple=1024)
