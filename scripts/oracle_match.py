@@ -58,6 +58,8 @@ def _knob_kwargs():
 
 def _f32_name(suffix):
     tag = {"lanes": "", "dense": "_dense", "lanes_trisym": "_lanes_trisym"}[PATH]
+    if PATH == "lanes_trisym" and os.environ.get("OM_TRISYM_SCOPE", "both") != "both":
+        tag += "_selonly"
     if ELEM == "f32":
         tag += "_ef32"
     if QUERY == "f32":
@@ -118,9 +120,12 @@ def run(platform):
         pallas_lft.propagator_select_lanes_df_fused_jit = _force_trisym(
             pallas_lft.propagator_select_lanes_df_fused_jit
         )
-        pallas_backward.backward_lanes_df_jit = _force_trisym(
-            pallas_backward.backward_lanes_df_jit
-        )
+        # OM_TRISYM_SCOPE=select scores a select-only trisym variant (the
+        # backward stays on the frozen plain-lanes kernel)
+        if os.environ.get("OM_TRISYM_SCOPE", "both") == "both":
+            pallas_backward.backward_lanes_df_jit = _force_trisym(
+                pallas_backward.backward_lanes_df_jit
+            )
 
     if platform == "tpu" and PATH == "dense":
         # route the B=128 set through the dense+trisym serving kernels by
