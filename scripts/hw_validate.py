@@ -309,9 +309,13 @@ def main():
     sha = subprocess.run(
         ["git", "rev-parse", "HEAD"], cwd=REPO, capture_output=True, text=True
     ).stdout.strip()
+    # dirty = tracked SOURCE modifications only: the battery itself writes
+    # (re-)generated files under results/ (this record, the sustained JSON,
+    # re-stamped oracle npz), which must not self-flag the run as dirty
     dirty = bool(
         subprocess.run(
-            ["git", "status", "--porcelain"], cwd=REPO, capture_output=True, text=True
+            ["git", "status", "--porcelain", "-uno", "--", ".", ":!results"],
+            cwd=REPO, capture_output=True, text=True,
         ).stdout.strip()
     )
 
