@@ -381,6 +381,12 @@ def _f32_query_w0(Ep, Fp, Gp, etil, W0h, *, jitter):
     (scripts/mixedprec_probe.py / oracle_match OM_QUERY=f32). Cost: the
     query's ~3.8k df terms (~25% of the step) collapse to ~2 f32 ops each.
 
+    VERDICT (round 5, hardware): measured DEAD END for the default path —
+    the per-T noise is independent across T, so flat hover-tail argmins
+    scramble (final T* match 409/1024 vs production at B=1024 quadrotor;
+    all flips cost-equivalent ties, but the advertised north star is
+    exact match). Kept as an opt-in knob only; see docs/DESIGN.md §5.
+
     Same math as _df_compose_query_w0's df branch: M = G11 + e g' + g e' +
     g22 e e', K = W0 + M, X0 = Ep - FEt K^-1 FEt', J = 0.5 (X0^-1)[p-1,p-1].
     """
@@ -697,8 +703,11 @@ def _df_select_fused_kernel(
         # composition — but amplified by kappa(Q_aug) ~ 1e4..1e5 through the
         # rank-1 inverse update, i.e. ~1e-3 relative — 4 orders larger than
         # rounding the inputs themselves. Whether that moves real argmins is
-        # settled on hardware (scripts/mixedprec_probe.py; see the DESIGN §5
-        # round-5 record before routing anything through this path).
+        # settled on hardware (scripts/mixedprec_probe.py). VERDICT
+        # (round 5): measured DEAD END — benign on quadrotor e2e but a
+        # genuine selection corruptor on stiff cases (oracle 351/640
+        # exact, cartpole 0/128; docs/DESIGN.md §5). Opt-in knob only;
+        # never routed.
         q32 = (Qe * inv_sk[None])[:, None]  # (n, 1, bt)
         iqh = iq[0]
         w32 = _mm(iqh, q32)  # (n, 1, bt)
